@@ -1,8 +1,14 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 Multi-chip TPU hardware is not available in CI; sharding correctness is
-validated on XLA's host-platform virtual devices instead (same SPMD
-partitioner, same collectives).  Must run before `import jax`.
+validated on XLA's host-platform virtual devices (same SPMD partitioner, same
+collectives).
+
+This environment pre-imports jax with the single-chip "axon" TPU backend via
+a sitecustomize hook (PYTHONPATH=/root/.axon_site) before conftest runs.
+Backends initialize lazily, so flipping `jax_platforms` to cpu here (plus
+XLA_FLAGS for 8 virtual host devices) still takes effect — as long as no
+test module triggers computation at import time before this file loads.
 """
 
 import os
@@ -10,9 +16,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
+assert len(jax.devices()) == 8, "expected 8 virtual host devices"

@@ -347,6 +347,10 @@ def select(mask: jnp.ndarray, a: GF, b: GF) -> GF:
     return GF(jnp.where(mask, a.lo, b.lo), jnp.where(mask, a.hi, b.hi))
 
 
+def expand_dims(a: GF, axis=-1) -> GF:
+    return GF(jnp.expand_dims(a.lo, axis), jnp.expand_dims(a.hi, axis))
+
+
 def stack(elems, axis=0) -> GF:
     return GF(
         jnp.stack([e.lo for e in elems], axis=axis),

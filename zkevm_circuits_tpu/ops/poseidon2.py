@@ -1,0 +1,174 @@
+"""Poseidon2 permutation over Goldilocks, width 12 — the universal sponge.
+
+Reference-parity role: boojum's `CircuitRoundFunction<F, 8, 12, 4>` (rate 8,
+width 12, output 4) — the round function behind every queue tail, every
+closed-form-input commitment, and Fiat-Shamir challenge derivation in
+matter-labs/era-zkevm_circuits (SURVEY.md §2.3; e.g. reference
+`src/utils.rs:31-55`, `src/main_vm/loading.rs:95-171`).
+
+Structure (Poseidon2, GrassiKRS22), alpha = 7, R_F = 8 (4+4), R_P = 22:
+  * pre-round:       state = M_E @ state          (Poseidon2 spec)
+  * external round:  state += rc;  state = state^7;  state = M_E @ state
+  * internal round:  state[0] += rc;  state[0] ^= 7;  state = M_I @ state
+  * M_E = (J_{3x3} + I) (x) M4, M4 = [[5,7,1,3],[4,6,1,1],[1,3,5,7],[1,1,4,6]]
+    applied via the paper's 8-addition chain, vectorized across the 3 blocks.
+  * M_I = J + diag(mu - 1):  out_i = sum(state) + (mu_i - 1) * state_i.
+
+Round constants / mu: Grain-LFSR generated (see utils/grain.py for why this
+instance is self-pinned rather than copied from boojum; constants are data —
+swappable without structural change).
+
+TPU mapping: a batch of states is a GF of shape (..., 12).  All lane math is
+vectorized over the full (batch, 12) array (VPU elementwise on u32 limbs);
+rounds run under `lax.scan` so the compiled graph holds ONE round body per
+phase regardless of round count.  The whole permutation is a single fused
+elementwise pipeline over the batch — it shards trivially along batch axes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.grain import poseidon2_goldilocks_constants
+from . import gf
+from .gf import GF
+
+WIDTH = 12
+RATE = 8
+CAPACITY = 4
+COMMITMENT_WIDTH = 4
+R_FULL = 8
+R_PARTIAL = 22
+ALPHA = 7
+
+EXT_RC, INT_RC, MU = poseidon2_goldilocks_constants(gf.MODULUS, WIDTH, R_FULL, R_PARTIAL)
+_MU_MINUS_1 = [(m - 1) % gf.MODULUS for m in MU]
+
+
+def _const_gf(values) -> GF:
+    arr = np.asarray(values, dtype=np.uint64)
+    return GF(
+        jnp.asarray(arr & np.uint64(0xFFFFFFFF), dtype=jnp.uint32),
+        jnp.asarray(arr >> np.uint64(32), dtype=jnp.uint32),
+    )
+
+
+def _sbox(x: GF) -> GF:
+    # x^7 = x^3 * x^4 : vectorized over whatever shape x has
+    x2 = gf.square(x)
+    x3 = gf.mul(x2, x)
+    x4 = gf.square(x2)
+    return gf.mul(x3, x4)
+
+
+def _ext_matrix(state: GF) -> GF:
+    """M_E @ state on trailing axis 12, vectorized across the three 4-blocks."""
+    shape = state.shape
+    b = state.reshape(shape[:-1] + (3, 4))
+    x0, x1, x2, x3 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    t0 = gf.add(x0, x1)
+    t1 = gf.add(x2, x3)
+    t2 = gf.add(gf.double(x1), t1)
+    t3 = gf.add(gf.double(x3), t0)
+    t4 = gf.add(gf.double(gf.double(t1)), t3)
+    t5 = gf.add(gf.double(gf.double(t0)), t2)
+    t6 = gf.add(t3, t5)
+    t7 = gf.add(t2, t4)
+    w = gf.stack([t6, t5, t7, t4], axis=-1)  # (..., 3, 4)
+    s = gf.add(gf.add(w[..., 0, :], w[..., 1, :]), w[..., 2, :])  # (..., 4)
+    out = gf.add(w, gf.expand_dims(s, -2))  # broadcast over blocks
+    return out.reshape(shape)
+
+
+def _int_matrix(state: GF, mu_m1: GF) -> GF:
+    total = gf.sum_mod(state, axis=-1)  # (...,)
+    scaled = gf.mul(state, mu_m1)  # broadcast (...,12) * (12,)
+    return gf.add(scaled, gf.expand_dims(total, -1))
+
+
+def permutation(state: GF) -> GF:
+    """Poseidon2 permutation; `state` has trailing axis 12 (any batch dims)."""
+    ext_rc = _const_gf(EXT_RC)  # (8, 12)
+    int_rc = _const_gf(INT_RC)  # (22,)
+    mu_m1 = _const_gf(_MU_MINUS_1)  # (12,)
+    half = R_FULL // 2
+
+    def full_round(st: GF, rc: GF) -> Tuple[GF, None]:
+        st = gf.add(st, rc)
+        st = _sbox(st)
+        return _ext_matrix(st), None
+
+    def partial_round(st: GF, rc: GF) -> Tuple[GF, None]:
+        lane0 = _sbox(gf.add(st[..., 0], rc))
+        st = gf.concat([gf.expand_dims(lane0, -1), st[..., 1:]], axis=-1)
+        return _int_matrix(st, mu_m1), None
+
+    state = _ext_matrix(state)
+    state, _ = jax.lax.scan(full_round, state, ext_rc[:half])
+    state, _ = jax.lax.scan(partial_round, state, int_rc)
+    state, _ = jax.lax.scan(full_round, state, ext_rc[half:])
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Sponge conventions (matching boojum's round-function trait usage)
+# ---------------------------------------------------------------------------
+
+
+def empty_state(batch_shape=()) -> GF:
+    """R::create_empty_state — all-zero width-12 state."""
+    return gf.zeros(tuple(batch_shape) + (WIDTH,))
+
+
+def apply_length_specialization(state: GF, length) -> GF:
+    """Set the last capacity lane to the input length (domain separation).
+
+    Mirrors boojum's `apply_length_specialization` used by FS-challenge
+    derivation (reference `src/utils.rs:33`) and variable-length commitments.
+    """
+    length_gf = length if isinstance(length, GF) else gf.from_u32(jnp.uint32(length))
+    last = gf.add(state[..., WIDTH - 1], length_gf)
+    return gf.concat([state[..., : WIDTH - 1], gf.expand_dims(last, -1)], axis=-1)
+
+
+def absorb_with_replacement(chunk: GF, state: GF) -> GF:
+    """state[0:8] := chunk (replacement absorption), keep capacity lanes."""
+    return gf.concat([chunk, state[..., RATE:]], axis=-1)
+
+
+def absorb_round(chunk: GF, state: GF) -> GF:
+    return permutation(absorb_with_replacement(chunk, state))
+
+
+def state_into_commitment(state: GF) -> GF:
+    """Take the first COMMITMENT_WIDTH lanes as a commitment."""
+    return state[..., :COMMITMENT_WIDTH]
+
+
+def hash_padded(inputs: GF, length_specialize: bool = True) -> GF:
+    """Sponge-hash a trailing-axis sequence of field elements to 4 lanes.
+
+    Zero-pads to a rate multiple; optionally applies length specialization
+    (the convention used by `commit_encoding`, reference
+    `src/fsm_input_output/mod.rs:281-326`, and FS challenges).
+    """
+    n = inputs.shape[-1]
+    batch = inputs.shape[:-1]
+    state = empty_state(batch)
+    if length_specialize:
+        state = apply_length_specialization(state, jnp.uint32(n))
+    padded = n + (-n) % RATE
+    if padded != n:
+        pad = gf.zeros(batch + (padded - n,))
+        inputs = gf.concat([inputs, pad], axis=-1)
+    for i in range(0, padded, RATE):
+        state = absorb_round(inputs[..., i : i + RATE], state)
+    return state_into_commitment(state)
+
+
+# Convenience jitted single-shot permutation for benches/tests.
+permutation_jit = jax.jit(permutation)
