@@ -42,7 +42,7 @@ def test_reference_fixture_satisfied():
     w = ram.generate_witness(
         MemoryQueries.from_lists(unsorted), MemoryQueries.from_lists(sorted_q), cfg
     )
-    res = ram.eval_constraints(w, cfg)
+    res = ram.eval_constraints_jit(w, cfg)
     for name, ok in res.items():
         assert bool(np.asarray(ok).all()), name
     # exactly one nondeterministic bootloader-heap write in the fixture
@@ -62,7 +62,7 @@ def test_permuted_multiset_required():
     w = ram.generate_witness(
         MemoryQueries.from_lists(unsorted), MemoryQueries.from_lists(bad), cfg
     )
-    res = ram.eval_constraints(w, cfg)
+    res = ram.eval_constraints_jit(w, cfg)
     assert not bool(np.asarray(res["grand_product_final"]).all())
 
 
@@ -73,7 +73,7 @@ def test_sort_order_enforced():
     w = ram.generate_witness(
         MemoryQueries.from_lists(unsorted), MemoryQueries.from_lists(bad), cfg
     )
-    res = ram.eval_constraints(w, cfg)
+    res = ram.eval_constraints_jit(w, cfg)
     assert not bool(np.asarray(res["sort_order"]).all())
 
 
@@ -88,7 +88,7 @@ def test_read_consistency_enforced():
     w = ram.generate_witness(
         MemoryQueries.from_lists(unsorted), MemoryQueries.from_lists(sorted_q), cfg
     )
-    res = ram.eval_constraints(w, cfg)
+    res = ram.eval_constraints_jit(w, cfg)
     assert not bool(np.asarray(res["read_consistency"]).all())
 
 
@@ -100,7 +100,7 @@ def test_uninit_read_must_be_zero():
     w = ram.generate_witness(
         MemoryQueries.from_lists(unsorted), MemoryQueries.from_lists(unsorted), cfg
     )
-    res = ram.eval_constraints(w, cfg)
+    res = ram.eval_constraints_jit(w, cfg)
     # row 0 with is_start exempts the cross-row checks, but an uninit read of a
     # fresh cell later must be zero
     unsorted2 = [
@@ -110,7 +110,7 @@ def test_uninit_read_must_be_zero():
     w2 = ram.generate_witness(
         MemoryQueries.from_lists(unsorted2), MemoryQueries.from_lists(unsorted2), cfg
     )
-    res2 = ram.eval_constraints(w2, cfg)
+    res2 = ram.eval_constraints_jit(w2, cfg)
     assert not bool(np.asarray(res2["uninit_read_zero"]).all())
 
 
@@ -126,7 +126,7 @@ def test_multi_instance_chaining():
     w = ram.generate_witness(
         MemoryQueries.from_lists(rows), MemoryQueries.from_lists(rows), cfg
     )
-    res = ram.eval_constraints(w, cfg)
+    res = ram.eval_constraints_jit(w, cfg)
     for name, ok in res.items():
         assert bool(np.asarray(ok).all()), name
 

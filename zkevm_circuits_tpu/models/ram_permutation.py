@@ -400,6 +400,9 @@ def all_ok(residuals: dict) -> bool:
     return all(bool(np.asarray(v).all()) for v in residuals.values())
 
 
+eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
+
+
 # ---------------------------------------------------------------------------
 # ClosedFormInput per instance
 # ---------------------------------------------------------------------------
