@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 KECCAK_RATE_BYTES = 136
@@ -69,11 +70,11 @@ def _rotl64(lo: jnp.ndarray, hi: jnp.ndarray, r: int) -> Tuple[jnp.ndarray, jnp.
     return (hi << s) | (lo >> t), (lo << s) | (hi >> t)
 
 
-def keccak_f1600(lo: jnp.ndarray, hi: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One permutation over a batch; lo/hi shape (..., 25) uint32."""
+def _round(lo: jnp.ndarray, hi: jnp.ndarray, rc_lo, rc_hi):
+    """One keccak round on (..., 25) u32 pairs (static lane shuffles)."""
     L = [lo[..., i] for i in range(25)]
     H = [hi[..., i] for i in range(25)]
-    for rc in ROUND_CONSTANTS:
+    if True:
         # theta
         CL = [L[_idx(x, 0)] ^ L[_idx(x, 1)] ^ L[_idx(x, 2)] ^ L[_idx(x, 3)] ^ L[_idx(x, 4)] for x in range(5)]
         CH = [H[_idx(x, 0)] ^ H[_idx(x, 1)] ^ H[_idx(x, 2)] ^ H[_idx(x, 3)] ^ H[_idx(x, 4)] for x in range(5)]
@@ -98,9 +99,29 @@ def keccak_f1600(lo: jnp.ndarray, hi: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.nda
                 L[_idx(x, y)] = BL[_idx(x, y)] ^ (~BL[_idx((x + 1) % 5, y)] & BL[_idx((x + 2) % 5, y)])
                 H[_idx(x, y)] = BH[_idx(x, y)] ^ (~BH[_idx((x + 1) % 5, y)] & BH[_idx((x + 2) % 5, y)])
         # iota
-        L[0] = L[0] ^ jnp.uint32(rc & 0xFFFFFFFF)
-        H[0] = H[0] ^ jnp.uint32(rc >> 32)
+        L[0] = L[0] ^ rc_lo
+        H[0] = H[0] ^ rc_hi
     return jnp.stack(L, axis=-1), jnp.stack(H, axis=-1)
+
+
+def keccak_f1600(lo: jnp.ndarray, hi: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One permutation over a batch; lo/hi shape (..., 25) uint32.
+
+    Rounds run under lax.scan (one round body in the compiled graph); the
+    lane shuffles inside a round are static."""
+    import numpy as np
+
+    rcs = np.asarray(ROUND_CONSTANTS, dtype=np.uint64)
+    rc_lo = jnp.asarray((rcs & 0xFFFFFFFF).astype(np.uint32))
+    rc_hi = jnp.asarray((rcs >> 32).astype(np.uint32))
+
+    def body(carry, rc):
+        l, h = carry
+        nl, nh = _round(l, h, rc[0], rc[1])
+        return (nl, nh), None
+
+    (lo, hi), _ = jax.lax.scan(body, (lo, hi), (rc_lo, rc_hi))
+    return lo, hi
 
 
 def absorb_block(lo, hi, block_lo, block_hi):
