@@ -58,17 +58,28 @@ def compress(
         b = _rotr(b ^ c, 7)
         return a, b, c, d
 
-    msg = [m[..., i] for i in range(16)]
-    for r in range(10):
-        s = SIGMA[r]
-        v[0], v[4], v[8], v[12] = G(v[0], v[4], v[8], v[12], msg[s[0]], msg[s[1]])
-        v[1], v[5], v[9], v[13] = G(v[1], v[5], v[9], v[13], msg[s[2]], msg[s[3]])
-        v[2], v[6], v[10], v[14] = G(v[2], v[6], v[10], v[14], msg[s[4]], msg[s[5]])
-        v[3], v[7], v[11], v[15] = G(v[3], v[7], v[11], v[15], msg[s[6]], msg[s[7]])
-        v[0], v[5], v[10], v[15] = G(v[0], v[5], v[10], v[15], msg[s[8]], msg[s[9]])
-        v[1], v[6], v[11], v[12] = G(v[1], v[6], v[11], v[12], msg[s[10]], msg[s[11]])
-        v[2], v[7], v[8], v[13] = G(v[2], v[7], v[8], v[13], msg[s[12]], msg[s[13]])
-        v[3], v[4], v[9], v[14] = G(v[3], v[4], v[9], v[14], msg[s[14]], msg[s[15]])
+    # one round body under lax.scan; per-round message words pre-gathered
+    import jax
+    import numpy as np
+
+    sigma = np.asarray(SIGMA, dtype=np.int32)  # (10, 16)
+    msg_rounds = jnp.moveaxis(m[..., sigma], -2, 0)  # (10, ..., 16)
+
+    def round_body(vs, mr):
+        v = list(vs)
+        ms = [mr[..., i] for i in range(16)]
+        v[0], v[4], v[8], v[12] = G(v[0], v[4], v[8], v[12], ms[0], ms[1])
+        v[1], v[5], v[9], v[13] = G(v[1], v[5], v[9], v[13], ms[2], ms[3])
+        v[2], v[6], v[10], v[14] = G(v[2], v[6], v[10], v[14], ms[4], ms[5])
+        v[3], v[7], v[11], v[15] = G(v[3], v[7], v[11], v[15], ms[6], ms[7])
+        v[0], v[5], v[10], v[15] = G(v[0], v[5], v[10], v[15], ms[8], ms[9])
+        v[1], v[6], v[11], v[12] = G(v[1], v[6], v[11], v[12], ms[10], ms[11])
+        v[2], v[7], v[8], v[13] = G(v[2], v[7], v[8], v[13], ms[12], ms[13])
+        v[3], v[4], v[9], v[14] = G(v[3], v[4], v[9], v[14], ms[14], ms[15])
+        return tuple(v), None
+
+    vs, _ = jax.lax.scan(round_body, tuple(v), msg_rounds)
+    v = list(vs)
     return jnp.stack(
         [h[..., i] ^ v[i] ^ v[i + 8] for i in range(8)], axis=-1
     )

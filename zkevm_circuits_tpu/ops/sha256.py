@@ -41,22 +41,42 @@ def _rotr(x, r):
 
 
 def compress(state: jnp.ndarray, block: jnp.ndarray) -> jnp.ndarray:
-    """One sha256 compression; state (..., 8), block (..., 16) u32 BE words."""
-    w = [block[..., i] for i in range(16)]
-    for t in range(16, 64):
-        s0 = _rotr(w[t - 15], 7) ^ _rotr(w[t - 15], 18) ^ (w[t - 15] >> jnp.uint32(3))
-        s1 = _rotr(w[t - 2], 17) ^ _rotr(w[t - 2], 19) ^ (w[t - 2] >> jnp.uint32(10))
-        w.append(w[t - 16] + s0 + w[t - 7] + s1)
-    a, b, c, d, e, f, g, h = [state[..., i] for i in range(8)]
-    for t in range(64):
+    """One sha256 compression; state (..., 8), block (..., 16) u32 BE words.
+
+    Message schedule and rounds run under lax.scan so the compiled graph
+    holds one schedule step + one round body (the fully-unrolled form
+    triggers pathological XLA CPU compile times)."""
+    import jax
+    import numpy as np
+
+    def sched(carry, _):
+        wm15 = carry[..., 1]
+        wm7 = carry[..., 9]
+        wm2 = carry[..., 14]
+        s0 = _rotr(wm15, 7) ^ _rotr(wm15, 18) ^ (wm15 >> jnp.uint32(3))
+        s1 = _rotr(wm2, 17) ^ _rotr(wm2, 19) ^ (wm2 >> jnp.uint32(10))
+        new = carry[..., 0] + s0 + wm7 + s1
+        return jnp.concatenate([carry[..., 1:], new[..., None]], axis=-1), new
+
+    _, extra = jax.lax.scan(sched, block, None, length=48)  # (48, ...)
+    w_all = jnp.concatenate([block, jnp.moveaxis(extra, 0, -1)], axis=-1)  # (..., 64)
+
+    k_arr = jnp.asarray(np.array(K, dtype=np.uint32))
+    wt = jnp.moveaxis(w_all, -1, 0)  # (64, ...)
+
+    def rnd(carry, x):
+        a, b, c, d, e, f, g, h = carry
+        k, w_t = x
         S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
-        t1 = h + S1 + ch + jnp.uint32(K[t]) + w[t]
+        t1 = h + S1 + ch + k + w_t
         S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
         maj = (a & b) ^ (a & c) ^ (b & c)
         t2 = S0 + maj
-        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-    out = [a, b, c, d, e, f, g, h]
+        return (t1 + t2, a, b, c, d + t1, e, f, g), None
+
+    init = tuple(state[..., i] for i in range(8))
+    out, _ = jax.lax.scan(rnd, init, (k_arr, wt))
     return jnp.stack([o + state[..., i] for i, o in enumerate(out)], axis=-1)
 
 
