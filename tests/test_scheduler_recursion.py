@@ -1,0 +1,136 @@
+"""Scheduler orchestration + recursion aggregation layer."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from zkevm_circuits_tpu.base_structures.memory_query import MemoryQueries
+from zkevm_circuits_tpu.models import ram_permutation as ram
+from zkevm_circuits_tpu.models import recursion, scheduler
+from zkevm_circuits_tpu.ops import gf, queues
+from zkevm_circuits_tpu.utils import protocol
+
+
+def ram_compact_forms():
+    rows = [
+        dict(timestamp=100 + i, memory_page=7, index=i, rw_flag=True,
+             is_ptr=False, value=1000 + i)
+        for i in range(4)
+    ]
+    cfg = ram.RamPermutationConfig(limit=2)
+    q = MemoryQueries.from_lists(rows)
+    w = ram.generate_witness(q, q, cfg)
+    return ram.instance_compact_forms(w, cfg)
+
+
+def leaf_params(ctype):
+    return recursion.RecursionLeafParameters(
+        circuit_type=ctype,
+        basic_circuit_vk_commitment=(11, 12, 13, 14),
+        leaf_vk_commitment=(21, 22, 23, 24),
+    )
+
+
+def test_scheduler_block_flow():
+    cf = ram_compact_forms()
+    node_vk = (31, 32, 33, 34)
+    lp = {t: leaf_params(t) for t in scheduler.SEQUENCE_OF_CIRCUIT_TYPES}
+
+    # build the expected node-proof surrogate for type 8 (ram)
+    k = int(np.asarray(cf.start_flag).shape[0])
+    commitments = cf.commitment()
+    qchain = recursion.build_recursion_queue(
+        gf.full((k,), 8), commitments, jnp.ones(k, dtype=bool)
+    )
+    qs = queues.QueueState(gf.zeros((12,)), qchain[k], jnp.uint32(k))
+    proof = recursion.ProofSurrogate(
+        public_input=scheduler.node_input_commitment(8, lp[8], node_vk, qs),
+        is_valid=True,
+    )
+
+    result = scheduler.run_scheduler(
+        compact_forms_by_type={8: cf},
+        node_proofs_by_type={8: proof},
+        leaf_params_by_type=lp,
+        node_vk_commitment=node_vk,
+        previous_block_content_hash=b"\x11" * 32,
+        block_data=scheduler.BlockPassthroughData(),
+        block_meta=scheduler.BlockMetaParameters(),
+        aux_output=scheduler.BlockAuxilaryOutput(),
+    )
+    assert scheduler.all_ok(result), result.checks
+    assert result.public_input.astype_u64().shape == (4,)
+    # deterministic
+    result2 = scheduler.run_scheduler(
+        {8: cf}, {8: proof}, lp, node_vk, b"\x11" * 32,
+        scheduler.BlockPassthroughData(), scheduler.BlockMetaParameters(),
+        scheduler.BlockAuxilaryOutput(),
+    )
+    np.testing.assert_array_equal(
+        result.public_input.astype_u64(), result2.public_input.astype_u64()
+    )
+
+
+def test_scheduler_rejects_bad_proof():
+    cf = ram_compact_forms()
+    node_vk = (31, 32, 33, 34)
+    lp = {t: leaf_params(t) for t in scheduler.SEQUENCE_OF_CIRCUIT_TYPES}
+    bad_proof = recursion.ProofSurrogate(
+        public_input=gf.from_u64(np.array([1, 2, 3, 4], dtype=np.uint64)),
+        is_valid=True,
+    )
+    result = scheduler.run_scheduler(
+        {8: cf}, {8: bad_proof}, lp, node_vk, b"\x11" * 32,
+        scheduler.BlockPassthroughData(), scheduler.BlockMetaParameters(),
+        scheduler.BlockAuxilaryOutput(),
+    )
+    assert not result.checks["ram_validation_node_proof"]
+
+
+def test_leaf_layer():
+    n = 3
+    types = gf.full((n,), 8)
+    commitments = gf.from_u64(
+        np.arange(1, n * 4 + 1, dtype=np.uint64).reshape(n, 4)
+    )
+    execute = jnp.ones(n, dtype=bool)
+    proofs = [
+        recursion.ProofSurrogate(commitments[i], True) for i in range(n)
+    ]
+    res = recursion.leaf_layer_check(8, types, commitments, execute, proofs)
+    assert all(bool(np.asarray(v).all()) for v in res.values())
+    # wrong type rejected
+    res2 = recursion.leaf_layer_check(9, types, commitments, execute, proofs)
+    assert not bool(np.asarray(res2["type_match"]).all())
+
+
+def test_node_layer_split():
+    n = 8
+    types = gf.full((n,), 8)
+    commitments = gf.from_u64(np.arange(32, dtype=np.uint64).reshape(n, 4))
+    chain = recursion.build_recursion_queue(
+        types, commitments, jnp.ones(n, dtype=bool)
+    )
+    parent = queues.QueueState(chain[0], chain[n], jnp.uint32(n))
+    children = recursion.split_queue_chain(chain, n, 4, [2, 4, 6])
+    res = recursion.check_split(parent, children)
+    assert all(bool(np.asarray(v).all()) for v in res.values())
+    assert [int(np.asarray(c.length)) for c in children] == [2, 2, 2, 2]
+    # a wrong split point breaks the glue
+    bad_children = recursion.split_queue_chain(chain, n, 4, [2, 4, 6])
+    tampered = queues.QueueState(
+        bad_children[1].head, bad_children[2].tail, bad_children[1].length
+    )
+    bad = [bad_children[0], tampered, bad_children[2], bad_children[3]]
+    res2 = recursion.check_split(parent, bad)
+    assert not bool(np.asarray(res2["glue"]).all())
+
+
+def test_interblock_aggregation():
+    pis = [
+        gf.from_u64(np.array([1, 2, 3, 4], dtype=np.uint64)),
+        gf.from_u64(np.array([5, 6, 7, 8], dtype=np.uint64)),
+    ]
+    h = recursion.interblock_aggregate_keccak(pis)
+    assert len(h) == 32
+    h2 = recursion.interblock_aggregate_keccak(list(reversed(pis)))
+    assert h != h2
