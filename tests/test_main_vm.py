@@ -1,0 +1,101 @@
+"""main_vm circuit: mini program end-to-end + relation probes."""
+
+import numpy as np
+
+from zkevm_circuits_tpu.base_structures.vm_state import VmStateColumns
+from zkevm_circuits_tpu.isa import opcodes as isa
+from zkevm_circuits_tpu.models import main_vm as vm
+
+CFG = vm.MainVmConfig(limit=16)
+
+
+def run(code, registers=None):
+    init = VmStateColumns.initial(registers=registers)
+    w = vm.generate_witness(code, init, CFG)
+    res = vm.eval_constraints_jit(w, CFG)
+    return w, res
+
+
+def reg_value(w, cycle, idx):
+    limbs = np.asarray(w["regs_after"])[cycle, idx]
+    return sum(int(l) << (32 * k) for k, l in enumerate(limbs))
+
+
+def test_arithmetic_program():
+    big = (1 << 256) - 1
+    code = [
+        isa.encode_instruction(isa.ADD, src0=1, src1=2, dst0=3),   # r3 = r1 + r2 (wraps)
+        isa.encode_instruction(isa.SUB, src0=1, src1=2, dst0=4),   # r4 = r1 - r2
+        isa.encode_instruction(isa.MUL, src0=1, src1=2, dst0=5, dst1=6),
+        isa.encode_instruction(isa.DIV, src0=1, src1=2, dst0=7, dst1=8),
+        isa.encode_instruction(isa.XOR, src0=1, src1=2, dst0=9),
+        isa.encode_instruction(isa.HALT),
+    ]
+    r1 = big - 12345
+    r2 = 0xFEDCBA9876543210
+    w, res = run(code, registers={1: r1, 2: r2})
+    for name, ok in res.items():
+        assert bool(np.asarray(ok).all()), name
+    assert reg_value(w, 0, 3) == (r1 + r2) % (1 << 256)
+    assert reg_value(w, 1, 4) == (r1 - r2) % (1 << 256)
+    assert reg_value(w, 2, 5) == (r1 * r2) % (1 << 256)
+    assert reg_value(w, 2, 6) == (r1 * r2) >> 256
+    assert reg_value(w, 3, 7) == r1 // r2
+    assert reg_value(w, 3, 8) == r1 % r2
+    assert reg_value(w, 4, 9) == r1 ^ r2
+    # halted state sticks to the end of the instance
+    assert bool(np.asarray(w["halted_after"])[-1])
+
+
+def test_conditional_loop():
+    # r1 counts down from 3 via SUB imm; loop with conditional jump (NE)
+    code = [
+        isa.encode_instruction(isa.SUB, src0=1, src1=0, dst0=1, imm=1),  # r1 -= 1
+        isa.encode_instruction(isa.JUMP, cond=isa.COND_NE, imm=0),       # loop while != 0
+        isa.encode_instruction(isa.HALT),
+    ]
+    w, res = run(code, registers={1: 3})
+    for name, ok in res.items():
+        assert bool(np.asarray(ok).all()), name
+    assert reg_value(w, 6, 1) == 0  # after 3 iterations (2 cycles each) + halt
+    assert bool(np.asarray(w["halted_after"])[-1])
+
+
+def test_wrong_result_rejected():
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    code = [isa.encode_instruction(isa.ADD, src0=1, src1=2, dst0=3), isa.encode_instruction(isa.HALT)]
+    w, _ = run(code, registers={1: 10, 2: 20})
+    bad = dict(w)
+    arr = np.asarray(w["result"]).copy()
+    arr[0, 0] += 1
+    bad["result"] = jnp.asarray(arr)
+    res = vm.eval_constraints_jit(bad, CFG)
+    ok_all = all(bool(np.asarray(v).all()) for v in res.values())
+    assert not ok_all
+
+
+def test_wrong_fetch_rejected():
+    import jax.numpy as jnp
+
+    code = [isa.encode_instruction(isa.ADD, src0=1, src1=2, dst0=3), isa.encode_instruction(isa.HALT)]
+    w, _ = run(code, registers={1: 10, 2: 20})
+    bad = dict(w)
+    arr = np.asarray(w["opcode_word_lo"]).copy()
+    arr[0] ^= 0xF000  # claim different src0
+    bad["opcode_word_lo"] = jnp.asarray(arr)
+    res = vm.eval_constraints_jit(bad, CFG)
+    assert not bool(np.asarray(res["opcode_fetch"]).all())
+
+
+def test_skipped_condition_keeps_state():
+    code = [
+        isa.encode_instruction(isa.ADD, cond=isa.COND_EQ, src0=1, src1=2, dst0=3),
+        isa.encode_instruction(isa.HALT),
+    ]
+    # EQ flag starts false -> the add must NOT execute
+    w, res = run(code, registers={1: 5, 2: 7})
+    for name, ok in res.items():
+        assert bool(np.asarray(ok).all()), name
+    assert reg_value(w, 0, 3) == 0

@@ -1,0 +1,90 @@
+"""zkEVM ISA opcode definitions (zkevm_opcode_defs port — provisional subset).
+
+The reference consumes `OPCODES_TABLE` / `OPCODES_PROPS_INTEGER_BITMASKS` /
+`OPCODES_PRICES` from the external zkevm_opcode_defs crate (layer 1,
+SURVEY.md §2.3) — a 2^11-entry decode table.  That crate is not vendored here
+(zero egress), so this module pins a PROVISIONAL instruction encoding with
+the same decode-table structure (id -> price + property bitmask) covering the
+opcode families implemented by models/main_vm.py; the table is pure data and
+swappable for the exact upstream layout without touching kernel code.
+
+Instruction word (64-bit, low-to-high):
+    bits  0..7   opcode id
+    bits  8..11  condition (0 always, 1 if-gt, 2 if-lt, 3 if-eq, 4 if-ne)
+    bits 12..15  src0 register index
+    bits 16..19  src1 register index
+    bits 20..23  dst0 register index
+    bits 24..27  dst1 register index (mul/div)
+    bit  28      src1-is-immediate
+    bits 32..63  imm32
+"""
+
+NOP = 0
+ADD = 1
+SUB = 2
+AND = 3
+OR = 4
+XOR = 5
+JUMP = 8
+MUL = 12
+DIV = 13
+HALT = 15
+
+NAMES = {
+    NOP: "nop", ADD: "add", SUB: "sub", AND: "and", OR: "or", XOR: "xor",
+    JUMP: "jump", MUL: "mul", DIV: "div", HALT: "halt",
+}
+
+# ergs prices (provisional uniform-ish schedule)
+PRICES = {
+    NOP: 1, ADD: 2, SUB: 2, AND: 2, OR: 2, XOR: 2, JUMP: 2, MUL: 5, DIV: 5,
+    HALT: 0,
+}
+
+# property bitmask bits (mirrors the reference's 48-bit property spread)
+PROP_WRITES_DST0 = 1 << 0
+PROP_WRITES_DST1 = 1 << 1
+PROP_SETS_FLAGS = 1 << 2
+PROP_IS_JUMP = 1 << 3
+PROP_IS_HALT = 1 << 4
+
+PROPS = {
+    NOP: 0,
+    ADD: PROP_WRITES_DST0 | PROP_SETS_FLAGS,
+    SUB: PROP_WRITES_DST0 | PROP_SETS_FLAGS,
+    AND: PROP_WRITES_DST0 | PROP_SETS_FLAGS,
+    OR: PROP_WRITES_DST0 | PROP_SETS_FLAGS,
+    XOR: PROP_WRITES_DST0 | PROP_SETS_FLAGS,
+    JUMP: PROP_IS_JUMP,
+    MUL: PROP_WRITES_DST0 | PROP_WRITES_DST1 | PROP_SETS_FLAGS,
+    DIV: PROP_WRITES_DST0 | PROP_WRITES_DST1 | PROP_SETS_FLAGS,
+    HALT: PROP_IS_HALT,
+}
+
+# conditions
+COND_ALWAYS = 0
+COND_GT = 1
+COND_LT = 2
+COND_EQ = 3
+COND_NE = 4
+
+
+def encode_instruction(
+    op, cond=COND_ALWAYS, src0=0, src1=0, dst0=0, dst1=0, imm=None
+) -> int:
+    word = (
+        (op & 0xFF)
+        | ((cond & 0xF) << 8)
+        | ((src0 & 0xF) << 12)
+        | ((src1 & 0xF) << 16)
+        | ((dst0 & 0xF) << 20)
+        | ((dst1 & 0xF) << 24)
+    )
+    if imm is not None:
+        word |= (1 << 28) | ((imm & 0xFFFFFFFF) << 32)
+    return word
+
+
+def decode_table():
+    """id -> (price, props) rows, the VMOpcodeDecodingTable analog."""
+    return {op: (PRICES[op], PROPS[op]) for op in NAMES}

@@ -1,0 +1,412 @@
+"""main_vm — circuit type 1: the zkEVM CPU circuit.
+
+Reference parity: `src/main_vm/` (`main_vm_entry_point` mod.rs:47-232,
+`vm_cycle` cycle.rs:28-795, decoder decoded_opcode.rs:42-220, opcode
+appliers src/main_vm/opcodes/*).  The reference runs `limit` cycles; each
+cycle decodes one opcode, applies 11 opcode-family candidates, and merges
+state diffs via one-hot dot-product selects, with budgets of 1 add/sub
+relation + 3 mul/div relations + 8 Poseidon2 sponges per cycle
+(state_diffs.rs:15-18).
+
+TPU-first layout: rows = cycles.  Witness generation is a host VM simulator
+(the witness-oracle role, SURVEY.md §2.4 item 5) producing dense per-cycle
+state columns; constraint evaluation checks every cycle transition
+row-parallel:
+
+  * decode: opcode word -> fields + (price, props) from the decode table
+    (the VMOpcodeDecodingTable analog);
+  * condition resolution against the flags port (VMConditionalResolutionTable
+    analog);
+  * ALU: 256-bit add/sub via materialized 8-limb carry chains (the
+    UIntXAddGate<32> relation, opcodes/mod.rs:101-125) and 256x256->512
+    mul/div via integer limb identities (the U8x4FMAGate relation role,
+    opcodes/mod.rs:129-180) through ops/nonnative.sides_equal;
+  * bytewise and/or/xor checked directly on u32 lanes (binop family);
+  * writeback: per-register one-hot select checks (cycle.rs dst merge);
+  * pc / ergs / flags / halt transitions.
+
+Round-1 opcode coverage: nop, add, sub, and, or, xor, jump, mul, div, halt
+(the add_sub, binop, jump, nop and mul_div applier families).  The uma, log,
+call_ret, context, ptr and shift families plus the decommit/callstack sponge
+budget land in the next round; the VmState/queue plumbing for them is in
+place (base_structures/vm_state.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base_structures.vm_state import REGISTERS_COUNT
+from ..isa import opcodes as isa
+from ..ops import nonnative as nn
+
+U32M = 0xFFFFFFFF
+
+
+@dataclasses.dataclass(frozen=True)
+class MainVmConfig:
+    limit: int  # cycles per instance
+
+
+# ---------------------------------------------------------------------------
+# host VM simulator (witness oracle role)
+# ---------------------------------------------------------------------------
+
+
+def _to_limbs(v: int):
+    return [(v >> (32 * k)) & U32M for k in range(8)]
+
+
+def _from_limbs(limbs):
+    return sum(int(l) << (32 * k) for k, l in enumerate(limbs))
+
+
+def simulate(code: list, initial: dict, limit: int) -> dict:
+    """Run the mini-VM for `limit` cycles; returns dense witness columns."""
+    regs = [list(r) for r in initial["registers"]]
+    flags = dict(of=initial["flag_of_lt"], eq=initial["flag_eq"], gt=initial["flag_gt"])
+    pc = int(initial["pc"])
+    ergs = int(initial["ergs_remaining"])
+    ts = int(initial["timestamp"])
+    halted = bool(initial["halted"])
+
+    cols = {
+        k: []
+        for k in [
+            "opcode_word_lo", "opcode_word_hi", "op", "cond", "src0", "src1",
+            "dst0", "dst1", "use_imm", "imm", "execute_op", "src0_val",
+            "src1_val", "result", "result_hi", "carries", "div_rem",
+            "regs_before", "flags_before", "pc_before", "ergs_before",
+            "halted_before", "regs_after", "flags_after", "pc_after",
+            "ergs_after", "halted_after", "mul_q_dummy",
+        ]
+    }
+
+    for _cycle in range(limit):
+        word = code[pc] if (not halted and pc < len(code)) else isa.encode_instruction(isa.NOP)
+        op = word & 0xFF
+        cond = (word >> 8) & 0xF
+        s0 = (word >> 12) & 0xF
+        s1 = (word >> 16) & 0xF
+        d0 = (word >> 20) & 0xF
+        d1 = (word >> 24) & 0xF
+        use_imm = (word >> 28) & 1
+        imm = (word >> 32) & U32M
+
+        cond_ok = {
+            isa.COND_ALWAYS: True,
+            isa.COND_GT: flags["gt"],
+            isa.COND_LT: flags["of"],
+            isa.COND_EQ: flags["eq"],
+            isa.COND_NE: not flags["eq"],
+        }[cond]
+        execute_op = (not halted) and cond_ok
+
+        a = _from_limbs(regs[s0])
+        b = imm if use_imm else _from_limbs(regs[s1])
+
+        cols["regs_before"].append([list(r) for r in regs])
+        cols["flags_before"].append([flags["of"], flags["eq"], flags["gt"]])
+        cols["pc_before"].append(pc)
+        cols["ergs_before"].append(ergs)
+        cols["halted_before"].append(halted)
+
+        res, res_hi, carries, rem = 0, 0, [0] * 9, 0
+        new_flags = dict(flags)
+        new_pc = pc + 1 if not halted else pc
+        writes0 = writes1 = False
+        if execute_op:
+            price, props = isa.decode_table()[op]
+            ergs = max(0, ergs - price)
+            if op in (isa.ADD, isa.SUB):
+                writes0 = True
+                if op == isa.ADD:
+                    full = a + b
+                    res = full & ((1 << 256) - 1)
+                    carry = full >> 256
+                else:
+                    full = a - b
+                    res = full % (1 << 256)
+                    carry = 1 if a < b else 0
+                # materialize the 8-limb carry chain
+                c = 0
+                for k in range(8):
+                    al, bl = (a >> (32 * k)) & U32M, (b >> (32 * k)) & U32M
+                    if op == isa.ADD:
+                        t = al + bl + c
+                        c = t >> 32
+                    else:
+                        t = al - bl - c
+                        c = 1 if t < 0 else 0
+                    carries[k + 1] = c
+                new_flags = dict(of=bool(carry), eq=res == 0, gt=(not carry) and res != 0)
+            elif op in (isa.AND, isa.OR, isa.XOR):
+                writes0 = True
+                res = {isa.AND: a & b, isa.OR: a | b, isa.XOR: a ^ b}[op]
+                new_flags = dict(of=False, eq=res == 0, gt=False)
+            elif op == isa.MUL:
+                writes0 = writes1 = True
+                full = a * b
+                res = full & ((1 << 256) - 1)
+                res_hi = full >> 256
+                new_flags = dict(of=res_hi != 0, eq=res == 0, gt=False)
+            elif op == isa.DIV:
+                writes0 = writes1 = True
+                if b == 0:
+                    res, rem = 0, 0
+                else:
+                    res, rem = divmod(a, b)
+                res_hi = rem  # dst1 receives the remainder
+                new_flags = dict(of=b == 0, eq=res == 0, gt=rem == 0 and b != 0)
+            elif op == isa.JUMP:
+                new_pc = imm
+            elif op == isa.HALT:
+                halted = True
+        flags = new_flags if execute_op and (isa.PROPS.get(op, 0) & isa.PROP_SETS_FLAGS) else flags
+        if execute_op and writes0:
+            regs[d0] = _to_limbs(res)
+        if execute_op and writes1:
+            regs[d1] = _to_limbs(res_hi)
+        pc = new_pc if not cols["halted_before"][-1] else pc
+
+        cols["opcode_word_lo"].append(word & U32M)
+        cols["opcode_word_hi"].append(word >> 32)
+        cols["op"].append(op)
+        cols["cond"].append(cond)
+        cols["src0"].append(s0)
+        cols["src1"].append(s1)
+        cols["dst0"].append(d0)
+        cols["dst1"].append(d1)
+        cols["use_imm"].append(use_imm)
+        cols["imm"].append(imm)
+        cols["execute_op"].append(execute_op)
+        cols["src0_val"].append(_to_limbs(a))
+        cols["src1_val"].append(_to_limbs(b))
+        cols["result"].append(_to_limbs(res))
+        cols["result_hi"].append(_to_limbs(res_hi))
+        cols["carries"].append(list(carries))
+        cols["div_rem"].append(_to_limbs(rem))
+        cols["mul_q_dummy"].append(0)
+        cols["regs_after"].append([list(r) for r in regs])
+        cols["flags_after"].append([flags["of"], flags["eq"], flags["gt"]])
+        cols["pc_after"].append(pc)
+        cols["ergs_after"].append(ergs)
+        cols["halted_after"].append(halted)
+
+    out = {}
+    for k, v in cols.items():
+        arr = np.asarray(v)
+        if arr.dtype == bool:
+            out[k] = jnp.asarray(arr)
+        else:
+            out[k] = jnp.asarray(arr.astype(np.uint32))
+    # the code tape (for opcode-fetch checking)
+    out["code_lo"] = jnp.asarray(np.array([cw & U32M for cw in code], np.uint32))
+    out["code_hi"] = jnp.asarray(np.array([cw >> 32 for cw in code], np.uint32))
+    return out
+
+
+def generate_witness(code: list, initial: dict, config: MainVmConfig) -> dict:
+    return simulate(code, initial, config.limit)
+
+
+# ---------------------------------------------------------------------------
+# constraint evaluation (row-parallel)
+# ---------------------------------------------------------------------------
+
+
+def _u32_to_u16_limbs(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., 8) u32 limbs -> (..., 16) u16 limbs."""
+    lo = x & jnp.uint32(0xFFFF)
+    hi = x >> 16
+    return jnp.stack([lo, hi], axis=-1).reshape(x.shape[:-1] + (16,))
+
+
+def eval_constraints(w: dict, config: MainVmConfig) -> dict:
+    N = config.limit
+    res = {}
+
+    # ---- decode: fields match the opcode word ----
+    word_lo, word_hi = w["opcode_word_lo"], w["opcode_word_hi"]
+    res["decode_fields"] = (
+        (w["op"] == (word_lo & 0xFF))
+        & (w["cond"] == ((word_lo >> 8) & 0xF))
+        & (w["src0"] == ((word_lo >> 12) & 0xF))
+        & (w["src1"] == ((word_lo >> 16) & 0xF))
+        & (w["dst0"] == ((word_lo >> 20) & 0xF))
+        & (w["dst1"] == ((word_lo >> 24) & 0xF))
+        & (w["use_imm"] == ((word_lo >> 28) & 1))
+        & (w["imm"] == word_hi)
+    )
+
+    # ---- opcode fetch: the executed word comes from the code tape at pc
+    # (the super-PC code-word read of pre_state.rs:113-175; out-of-range or
+    # halted cycles execute NOP) ----
+    L = w["code_lo"].shape[0]
+    pc_b = w["pc_before"]
+    in_code = (pc_b < L) & ~w["halted_before"]
+    fetched_lo = w["code_lo"][jnp.minimum(pc_b, L - 1)]
+    fetched_hi = w["code_hi"][jnp.minimum(pc_b, L - 1)]
+    nop_word = isa.encode_instruction(isa.NOP)
+    exp_lo = jnp.where(in_code, fetched_lo, jnp.uint32(nop_word & U32M))
+    exp_hi = jnp.where(in_code, fetched_hi, jnp.uint32(nop_word >> 32))
+    res["opcode_fetch"] = (word_lo == exp_lo) & (word_hi == exp_hi)
+
+    # ---- condition resolution (VMConditionalResolutionTable analog) ----
+    fb = w["flags_before"]
+    of, eq, gt = fb[:, 0] == 1, fb[:, 1] == 1, fb[:, 2] == 1
+    cond_ok = (
+        (w["cond"] == isa.COND_ALWAYS)
+        | ((w["cond"] == isa.COND_GT) & gt)
+        | ((w["cond"] == isa.COND_LT) & of)
+        | ((w["cond"] == isa.COND_EQ) & eq)
+        | ((w["cond"] == isa.COND_NE) & ~eq)
+    )
+    halted_before = w["halted_before"]
+    res["condition_resolution"] = w["execute_op"] == (cond_ok & ~halted_before)
+
+    # ---- operand resolution ----
+    rows = jnp.arange(N)
+    regs_b = w["regs_before"]  # (N, 15, 8)
+    src0_sel = regs_b[rows, w["src0"] % REGISTERS_COUNT]
+    imm_val = jnp.concatenate(
+        [w["imm"][:, None], jnp.zeros((N, 7), jnp.uint32)], axis=-1
+    )
+    src1_reg = regs_b[rows, w["src1"] % REGISTERS_COUNT]
+    src1_sel = jnp.where((w["use_imm"] == 1)[:, None], imm_val, src1_reg)
+    res["src0_resolution"] = (w["src0_val"] == src0_sel).all(-1)
+    res["src1_resolution"] = (w["src1_val"] == src1_sel).all(-1)
+
+    ex = w["execute_op"]
+    a, b, r = w["src0_val"], w["src1_val"], w["result"]
+    op = w["op"]
+
+    # ---- add/sub: 8-limb carry chains (UIntXAddGate<32> relation) ----
+    c = w["carries"]  # (N, 9)
+    add_ok = jnp.ones(N, dtype=bool)
+    sub_ok = jnp.ones(N, dtype=bool)
+    for k in range(8):
+        # carry iff a + b + cin >= 2^32; detect via wrap on two adds
+        t1 = a[:, k] + b[:, k]
+        c1 = t1 < a[:, k]
+        t2 = t1 + c[:, k]
+        c2 = t2 < t1
+        add_ok = add_ok & (r[:, k] == t2) & (c[:, k + 1] == (c1 | c2).astype(jnp.uint32))
+        d1 = a[:, k] - b[:, k]
+        b1 = a[:, k] < b[:, k]
+        d2 = d1 - c[:, k]
+        b2 = d1 < c[:, k]
+        sub_ok = sub_ok & (r[:, k] == d2) & (c[:, k + 1] == (b1 | b2).astype(jnp.uint32))
+    res["add_relation"] = jnp.where(ex & (op == isa.ADD), add_ok & (c[:, 0] == 0), True)
+    res["sub_relation"] = jnp.where(ex & (op == isa.SUB), sub_ok & (c[:, 0] == 0), True)
+
+    # ---- binop ----
+    res["binop_and"] = jnp.where(ex & (op == isa.AND), (r == (a & b)).all(-1), True)
+    res["binop_or"] = jnp.where(ex & (op == isa.OR), (r == (a | b)).all(-1), True)
+    res["binop_xor"] = jnp.where(ex & (op == isa.XOR), (r == (a ^ b)).all(-1), True)
+
+    # ---- mul/div: 512-bit integer identities (U8x4FMAGate relation role) ----
+    a16 = _u32_to_u16_limbs(a)
+    b16 = _u32_to_u16_limbs(b)
+    lo16 = _u32_to_u16_limbs(r)
+    hi16 = _u32_to_u16_limbs(w["result_hi"])
+    lo_hi = jnp.concatenate([lo16, hi16], axis=-1)  # (N, 32) = lo + hi<<256
+    mul_id = nn.sides_equal(
+        [("prod", a16, b16, 1)], [("lin", lo_hi, 1)], (N,), ncoef=34
+    )
+    res["mul_relation"] = jnp.where(ex & (op == isa.MUL), mul_id, True)
+    # div: a == q*b + rem, rem < b (b != 0); q = result, rem = result_hi
+    rem16 = _u32_to_u16_limbs(w["div_rem"])
+    div_id = nn.sides_equal(
+        [("lin", a16, 1)],
+        [("prod", lo16, b16, 1), ("lin", rem16, 1)],
+        (N,),
+        ncoef=34,
+    )
+    b_nonzero = (b != 0).any(-1)
+    rem_lt_b = _limbs_lt_256(w["div_rem"], b)
+    div_ok = div_id & rem_lt_b & (w["result_hi"] == w["div_rem"]).all(-1)
+    div_by_zero_ok = (r == 0).all(-1) & (w["result_hi"] == 0).all(-1)
+    res["div_relation"] = jnp.where(
+        ex & (op == isa.DIV), jnp.where(b_nonzero, div_ok, div_by_zero_ok), True
+    )
+
+    # ---- writeback: one-hot register merge (cycle.rs dst selects) ----
+    props = jnp.zeros(N, jnp.uint32)
+    for o, p in isa.PROPS.items():
+        props = jnp.where(op == o, jnp.uint32(p), props)
+    writes0 = ex & ((props & isa.PROP_WRITES_DST0) != 0)
+    writes1 = ex & ((props & isa.PROP_WRITES_DST1) != 0)
+    regs_a = w["regs_after"]
+    reg_idx = jnp.arange(REGISTERS_COUNT)
+    is_d0 = (reg_idx[None, :] == w["dst0"][:, None]) & writes0[:, None]
+    is_d1 = (reg_idx[None, :] == w["dst1"][:, None]) & writes1[:, None]
+    expected = jnp.where(is_d0[..., None], w["result"][:, None, :], regs_b)
+    expected = jnp.where(is_d1[..., None], w["result_hi"][:, None, :], expected)
+    res["register_writeback"] = (regs_a == expected).reshape(N, -1).all(-1)
+
+    # ---- flags / pc / ergs / halt transitions ----
+    sets_flags = ex & ((props & isa.PROP_SETS_FLAGS) != 0)
+    r_zero = (r == 0).all(-1)
+    carry_out = c[:, 8] == 1
+    hi_nonzero = (w["result_hi"] != 0).any(-1)
+    exp_of = jnp.where(op == isa.MUL, hi_nonzero, carry_out)
+    exp_of = jnp.where(op == isa.DIV, ~b_nonzero, exp_of)
+    exp_of = jnp.where((op == isa.AND) | (op == isa.OR) | (op == isa.XOR), False, exp_of)
+    exp_gt = jnp.where(
+        (op == isa.ADD) | (op == isa.SUB), ~carry_out & ~r_zero, jnp.zeros(N, bool)
+    )
+    exp_gt = jnp.where(op == isa.DIV, ((w["div_rem"] == 0).all(-1)) & b_nonzero, exp_gt)
+    fa = w["flags_after"]
+    flags_expected = jnp.stack(
+        [exp_of.astype(jnp.uint32), r_zero.astype(jnp.uint32), exp_gt.astype(jnp.uint32)],
+        axis=-1,
+    )
+    res["flags_update"] = jnp.where(
+        sets_flags, (fa == flags_expected).all(-1), (fa == fb).all(-1)
+    )
+
+    is_jump = ex & (op == isa.JUMP)
+    exp_pc = jnp.where(is_jump, w["imm"], w["pc_before"] + 1)
+    exp_pc = jnp.where(halted_before, w["pc_before"], exp_pc)
+    res["pc_update"] = w["pc_after"] == exp_pc
+
+    price = jnp.zeros(N, jnp.uint32)
+    for o, p in isa.PRICES.items():
+        price = jnp.where(op == o, jnp.uint32(p), price)
+    exp_ergs = jnp.where(ex, w["ergs_before"] - jnp.minimum(price, w["ergs_before"]), w["ergs_before"])
+    res["ergs_update"] = w["ergs_after"] == exp_ergs
+
+    is_halt = ex & (op == isa.HALT)
+    res["halt_update"] = w["halted_after"] == (halted_before | is_halt)
+
+    # ---- cycle-to-cycle continuity ----
+    prev = lambda x: x[:-1]
+    res["state_continuity"] = (
+        (w["regs_before"][1:] == w["regs_after"][:-1]).reshape(N - 1, -1).all(-1)
+        & (w["flags_before"][1:] == w["flags_after"][:-1]).all(-1)
+        & (w["pc_before"][1:] == w["pc_after"][:-1])
+        & (w["ergs_before"][1:] == w["ergs_after"][:-1])
+        & (w["halted_before"][1:] == w["halted_after"][:-1])
+    )
+    return res
+
+
+def _limbs_lt_256(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    lt = jnp.zeros(a.shape[:-1], bool)
+    eq = jnp.ones(a.shape[:-1], bool)
+    for k in range(7, -1, -1):
+        lt = lt | (eq & (a[..., k] < b[..., k]))
+        eq = eq & (a[..., k] == b[..., k])
+    return lt
+
+
+def all_ok(residuals: dict) -> bool:
+    return all(bool(np.asarray(v).all()) for v in residuals.values())
+
+
+eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
