@@ -55,7 +55,9 @@ def main():
 
     n = 1 << LOG2_ROWS
     unsorted_t, sorted_t = build_tapes_np(n)
-    cfg = ram.RamPermutationConfig(limit=n)
+    # segment-boundary chain witnesses: ~512x less host->device chain traffic;
+    # the check re-derives segments on device in parallel
+    cfg = ram.RamPermutationConfig(limit=n, chain_stride=512)
 
     def gen():
         return jax.block_until_ready(

@@ -171,6 +171,40 @@ extern "C" void gl_poseidon2_permute_batch(u64* states, int64_t n) {
   for (int64_t i = 0; i < n; ++i) gl_poseidon2_permute(states + i * 12);
 }
 
+// Strided variant: writes only every stride-th state (segment boundaries).
+// states_out has n/stride + 1 rows of 12; n must be divisible by stride.
+extern "C" void gl_full_state_chain_strided(u64* states_out, const u64* encodings,
+                                            const uint8_t* execute, const u64* init,
+                                            int64_t n, int64_t stride) {
+  u64 s[12];
+  std::memcpy(s, init, sizeof(s));
+  std::memcpy(states_out, s, sizeof(s));
+  int64_t out_idx = 1;
+  for (int64_t i = 0; i < n; ++i) {
+    if (!execute || execute[i]) {
+      std::memcpy(s, encodings + i * 8, 8 * sizeof(u64));
+      gl_poseidon2_permute(s);
+    }
+    if ((i + 1) % stride == 0) {
+      std::memcpy(states_out + out_idx * 12, s, sizeof(s));
+      ++out_idx;
+    }
+  }
+}
+
+// K strided chains in parallel.
+extern "C" void gl_full_state_chains_strided(u64* states_out, const u64* encodings,
+                                             const uint8_t* execute, const u64* init,
+                                             int64_t k, int64_t n, int64_t stride) {
+  int64_t rows = n / stride + 1;
+#pragma omp parallel for schedule(static)
+  for (int64_t q = 0; q < k; ++q) {
+    gl_full_state_chain_strided(states_out + q * rows * 12, encodings + q * n * 8,
+                                execute ? execute + q * n : nullptr, init + q * 12,
+                                n, stride);
+  }
+}
+
 // K independent full-state chains in parallel (one OMP thread each).
 extern "C" void gl_full_state_chains(u64* states_out /*K*(n+1)*12*/,
                                      const u64* encodings /*K*n*8*/,

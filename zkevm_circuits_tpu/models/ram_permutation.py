@@ -62,6 +62,14 @@ RAM_FULL_KEY_LENGTH = 2  # ref input.rs:47
 class RamPermutationConfig:
     limit: int  # pops per instance (the checkpoint interval)
     bootloader_heap_page: int = BOOTLOADER_HEAP_PAGE
+    # when set, queue-chain witnesses carry only every chain_stride-th state
+    # (segment boundaries); the constraint pass re-derives segments on device
+    # in parallel (ops/queues.check_chain_segmented).  Cuts the host->device
+    # witness traffic for the chains by ~chain_stride x.
+    chain_stride: Optional[int] = None
+    # unroll the Poseidon2 rounds in the segmented re-derivation (faster on
+    # real TPU hardware; keep False for CPU test runs — XLA CPU compile time)
+    unroll_poseidon: bool = False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -141,8 +149,8 @@ def _finish_stage(
     heap_page: jnp.ndarray,
 ) -> RamPermutationWitness:
     total = execute.shape[0]
-    tail_u = chain_u[total]
-    tail_s = chain_s[total]
+    tail_u = chain_u[chain_u.shape[0] - 1]
+    tail_s = chain_s[chain_s.shape[0] - 1]
     state_u = QueueState(gf.zeros((12,)), tail_u, n)
     state_s = QueueState(gf.zeros((12,)), tail_s, n)
     fs = chal.produce_fs_challenges(
@@ -278,9 +286,17 @@ def generate_witness_host_tapes(
             encode_memory_queries_np(**ts_),
         ]
     )  # (2, total, 8)
-    chains = native.full_state_chains(
-        enc, np.stack([execute_np, execute_np]).astype(np.uint8), np.zeros((2, 12), np.uint64)
-    )  # (2, total+1, 12)
+    if config.chain_stride:
+        chains = native.full_state_chains_strided(
+            enc,
+            np.stack([execute_np, execute_np]).astype(np.uint8),
+            np.zeros((2, 12), np.uint64),
+            config.chain_stride,
+        )  # (2, total/stride + 1, 12)
+    else:
+        chains = native.full_state_chains(
+            enc, np.stack([execute_np, execute_np]).astype(np.uint8), np.zeros((2, 12), np.uint64)
+        )  # (2, total+1, 12)
 
     def mq(t):
         return MemoryQueries(
@@ -324,13 +340,24 @@ def eval_constraints(w: RamPermutationWitness, config: RamPermutationConfig) -> 
     total = w.execute.shape[0]
     s = w.sorted
 
-    # (1) queue sponge chains (one batched Poseidon2 each)
-    chain_u_ok = queues.check_chain(w.chain_unsorted, w.enc_unsorted, w.execute)
-    chain_s_ok = queues.check_chain(w.chain_sorted, w.enc_sorted, w.execute)
+    # (1) queue sponge chains (one batched Poseidon2 each; segmented when the
+    # witness carries boundary states only)
+    if config.chain_stride:
+        chain_u_ok = queues.check_chain_segmented(
+            w.chain_unsorted, w.enc_unsorted, w.execute, config.unroll_poseidon
+        )
+        chain_s_ok = queues.check_chain_segmented(
+            w.chain_sorted, w.enc_sorted, w.execute, config.unroll_poseidon
+        )
+    else:
+        chain_u_ok = queues.check_chain(w.chain_unsorted, w.enc_unsorted, w.execute)
+        chain_s_ok = queues.check_chain(w.chain_sorted, w.enc_sorted, w.execute)
 
     # (2) grand-product transitions, with challenges recomputed from tails
-    state_u = QueueState(gf.zeros((12,)), w.chain_unsorted[total], w.n)
-    state_s = QueueState(gf.zeros((12,)), w.chain_sorted[total], w.n)
+    tail_u = w.chain_unsorted[w.chain_unsorted.shape[0] - 1]
+    tail_s = w.chain_sorted[w.chain_sorted.shape[0] - 1]
+    state_u = QueueState(gf.zeros((12,)), tail_u, w.n)
+    state_s = QueueState(gf.zeros((12,)), tail_s, w.n)
     fs = chal.produce_fs_challenges(
         state_u, state_s, MEMORY_QUERY_PACKED_WIDTH + 1, NUM_REPETITIONS
     )
@@ -433,6 +460,11 @@ def instance_compact_forms(
     limit = config.limit
     k = total // limit
     bounds = jnp.arange(k + 1, dtype=jnp.int32) * limit  # (k+1,)
+    stride = config.chain_stride or 1
+    assert limit % stride == 0 or k == 1, (
+        "chain_stride must divide the instance limit for FSM snapshots"
+    )
+    last_chain = w.chain_unsorted.shape[0] - 1
 
     ones = gf.ones((NUM_REPETITIONS,))
 
@@ -443,8 +475,9 @@ def instance_compact_forms(
         lhs = gf.select(at_start, ones, _gather_gf(w.lhs, prev_row))
         rhs = gf.select(at_start, ones, _gather_gf(w.rhs, prev_row))
         remaining = w.n - jnp.minimum(b.astype(jnp.uint32), w.n)
-        qs_u = QueueState(w.chain_unsorted[b], w.chain_unsorted[total], remaining)
-        qs_s = QueueState(w.chain_sorted[b], w.chain_sorted[total], remaining)
+        cb = b // stride
+        qs_u = QueueState(w.chain_unsorted[cb], w.chain_unsorted[last_chain], remaining)
+        qs_s = QueueState(w.chain_sorted[cb], w.chain_sorted[last_chain], remaining)
         srow = w.sorted[prev_row]
         zero32 = jnp.uint32(0)
         sel = lambda v: jnp.where(at_start, jnp.zeros_like(v), v)
@@ -475,8 +508,8 @@ def instance_compact_forms(
     fsm_out = fsm_states[1:]
 
     # observable input: both initial queue states + snapshot length (input.rs:27-31)
-    qs_u0 = QueueState(gf.zeros((12,)), w.chain_unsorted[total], w.n)
-    qs_s0 = QueueState(gf.zeros((12,)), w.chain_sorted[total], w.n)
+    qs_u0 = QueueState(gf.zeros((12,)), w.chain_unsorted[last_chain], w.n)
+    qs_s0 = QueueState(gf.zeros((12,)), w.chain_sorted[last_chain], w.n)
     obs_in_single = gf.concat(
         [
             _encode_queue_state(qs_u0),

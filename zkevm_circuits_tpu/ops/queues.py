@@ -144,6 +144,55 @@ def simulate_chain(
     return gf.concat([init_expanded, states], axis=0)
 
 
+def check_chain_segmented(
+    boundaries: GF,
+    encodings: GF,
+    execute: Optional[jnp.ndarray] = None,
+    unroll_permutation: bool = False,
+) -> jnp.ndarray:
+    """Verify a sponge chain from segment-boundary states only.
+
+    boundaries: (S+1, W) — the chain state every `stride` rows, where
+    stride = n // S; encodings: (n, L).  The device recomputes each segment
+    with a batched scan (all segments in parallel, `stride` sequential steps)
+    and compares the landing states — HBM traffic drops from O(n) states to
+    O(S), the standard segmented-scan decomposition of the chain.
+    Returns (S,) bool.
+    """
+    n = encodings.shape[0]
+    S = boundaries.shape[0] - 1
+    assert n % S == 0, (n, S)
+    stride = n // S
+    if execute is None:
+        execute = jnp.ones((n,), dtype=bool)
+    enc_seg = encodings.reshape((S, stride) + encodings.shape[1:])
+    ex_seg = execute.reshape(S, stride)
+    start = boundaries[:-1]  # (S, W)
+
+    if unroll_permutation:
+        from .poseidon2_tuned import absorb_round_unrolled
+
+        def tr(state, enc, ex):
+            new = absorb_round_unrolled(enc, state)
+            return gf.select(jnp.expand_dims(ex, -1), new, state)
+    else:
+        tr = transition
+
+    def body(carry: GF, x):
+        enc, ex = x
+        return tr(carry, enc, ex), None
+
+    final, _ = jax.lax.scan(
+        body,
+        start,
+        (
+            GF(jnp.moveaxis(enc_seg.lo, 1, 0), jnp.moveaxis(enc_seg.hi, 1, 0)),
+            jnp.moveaxis(ex_seg, 1, 0),
+        ),
+    )
+    return jnp.all(gf.equal(final, boundaries[1:]), axis=-1)
+
+
 def check_chain(
     states: GF, encodings: GF, execute: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:

@@ -53,6 +53,9 @@ def get_lib() -> ctypes.CDLL:
             lib.gl_full_state_chains.argtypes = [
                 u64p, u64p, u8p, u64p, ctypes.c_int64, ctypes.c_int64,
             ]
+            lib.gl_full_state_chains_strided.argtypes = [
+                u64p, u64p, u8p, u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ]
             lib.gl_narrow_chain.argtypes = [
                 u64p, u64p, u8p, u64p, ctypes.c_int64, ctypes.c_int64,
             ]
@@ -120,6 +123,23 @@ def full_state_chains(
     ini = np.ascontiguousarray(init, dtype=np.uint64)
     out = np.empty((k, n + 1, 12), dtype=np.uint64)
     lib.gl_full_state_chains(_u64p(out), _u64p(enc), _u8p(ex), _u64p(ini), k, n)
+    return out
+
+
+def full_state_chains_strided(
+    encodings: np.ndarray, execute: Optional[np.ndarray], init: np.ndarray, stride: int
+) -> np.ndarray:
+    """K chains, boundary states only: (K,n,8) -> (K, n/stride + 1, 12)."""
+    lib = get_lib()
+    enc = np.ascontiguousarray(encodings, dtype=np.uint64)
+    k, n = enc.shape[0], enc.shape[1]
+    assert n % stride == 0
+    ex = None if execute is None else np.ascontiguousarray(execute, dtype=np.uint8)
+    ini = np.ascontiguousarray(init, dtype=np.uint64)
+    out = np.empty((k, n // stride + 1, 12), dtype=np.uint64)
+    lib.gl_full_state_chains_strided(
+        _u64p(out), _u64p(enc), _u8p(ex), _u64p(ini), k, n, stride
+    )
     return out
 
 
