@@ -110,3 +110,26 @@ def test_jit_and_vmap_compat():
     out = f(a, b)
     expected = gf.mul(gf.add(a, b), b)
     np.testing.assert_array_equal(out.astype_u64(), expected.astype_u64())
+
+
+def test_lazy_ops():
+    """non-canonical add/mul agree with canonical math after canonicalize."""
+    import jax.numpy as jnp
+    from zkevm_circuits_tpu.ops.gf import GF
+
+    n = 1024
+    # include values >= p (non-canonical u64 inputs)
+    a64 = RNG.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    b64 = RNG.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    edges = np.array([P, P + 1, (1 << 64) - 1, P - 1, 0, 1], dtype=np.uint64)
+    a64[: len(edges)] = edges
+    b64[: len(edges)] = edges[::-1]
+    ga = GF(jnp.asarray((a64 & 0xFFFFFFFF).astype(np.uint32)),
+            jnp.asarray((a64 >> 32).astype(np.uint32)))
+    gb = GF(jnp.asarray((b64 & 0xFFFFFFFF).astype(np.uint32)),
+            jnp.asarray((b64 >> 32).astype(np.uint32)))
+    got_add = gf.canonicalize(gf.add_lazy(ga, gb)).astype_u64()
+    got_mul = gf.canonicalize(gf.mul_lazy(ga, gb)).astype_u64()
+    for i in range(n):
+        assert int(got_add[i]) == (int(a64[i]) + int(b64[i])) % P, i
+        assert int(got_mul[i]) == (int(a64[i]) * int(b64[i])) % P, i

@@ -227,6 +227,75 @@ def sub(a: GF, b: GF) -> GF:
     return GF(lo1, hi1)
 
 
+def add_lazy(a: GF, b: GF) -> GF:
+    """a + b (mod p) in NON-CANONICAL form: inputs/outputs any u64 < 2^64.
+
+    a+b = s + c*2^64 == s + c*EPSILON (mod p); the EPSILON adjustment can wrap
+    at most twice.  ~30% fewer ops than the canonical add — used inside hash
+    permutations where only the final output needs canonicalizing."""
+    lo, hi, c1 = add64(a.lo, a.hi, b.lo, b.hi)
+    wrapped = c1.astype(bool)
+    # first EPSILON adjustment
+    alo = lo + jnp.uint32(EPSILON)
+    ahi = hi + (lo != 0).astype(_U32)
+    # did the adjustment itself wrap?  (ahi, alo) < (hi, lo) as u64
+    w2 = wrapped & ((ahi < hi) | ((ahi == hi) & (alo < lo)))
+    lo1 = jnp.where(wrapped, alo, lo)
+    hi1 = jnp.where(wrapped, ahi, hi)
+    # second adjustment cannot wrap again
+    blo = lo1 + jnp.uint32(EPSILON)
+    bhi = hi1 + (lo1 != 0).astype(_U32)
+    lo2 = jnp.where(w2, blo, lo1)
+    hi2 = jnp.where(w2, bhi, hi1)
+    return GF(lo2, hi2)
+
+
+def mul_lazy(a: GF, b: GF) -> GF:
+    """a * b (mod p), output possibly non-canonical (< 2^64).  Valid for any
+    u64 inputs; skips the final conditional subtract of `mul`."""
+    ll_lo, ll_hi = umul32(a.lo, b.lo)
+    lh_lo, lh_hi = umul32(a.lo, b.hi)
+    hl_lo, hl_hi = umul32(a.hi, b.lo)
+    hh_lo, hh_hi = umul32(a.hi, b.hi)
+    x0 = ll_lo
+    s1 = ll_hi + lh_lo
+    c1 = (s1 < ll_hi).astype(_U32)
+    x1 = s1 + hl_lo
+    c2 = (x1 < s1).astype(_U32)
+    carry_x2 = c1 + c2
+    s2 = lh_hi + hl_hi
+    d1 = (s2 < lh_hi).astype(_U32)
+    s3 = s2 + hh_lo
+    d2 = (s3 < s2).astype(_U32)
+    x2 = s3 + carry_x2
+    d3 = (x2 < s3).astype(_U32)
+    x3 = hh_hi + d1 + d2 + d3
+    return _reduce128_lazy(x0, x1, x2, x3)
+
+
+def _reduce128_lazy(x0, x1, x2, x3) -> GF:
+    """reduce128 without the final canonicalizing subtract."""
+    t0lo, t0hi, borrow = sub64(x0, x1, x3, jnp.zeros_like(x3))
+    blo = t0lo - jnp.uint32(EPSILON)
+    bhi = t0hi - (t0lo < jnp.uint32(EPSILON)).astype(_U32)
+    t0lo = jnp.where(borrow.astype(bool), blo, t0lo)
+    t0hi = jnp.where(borrow.astype(bool), bhi, t0hi)
+    nz = (x2 != 0).astype(_U32)
+    t1lo = jnp.uint32(0) - x2
+    t1hi = x2 - nz
+    lo, hi, carry = add64(t0lo, t0hi, t1lo, t1hi)
+    lo_c = lo + jnp.uint32(EPSILON)
+    hi_c = hi + (lo != 0).astype(_U32)
+    lo = jnp.where(carry.astype(bool), lo_c, lo)
+    hi = jnp.where(carry.astype(bool), hi_c, hi)
+    return GF(lo, hi)
+
+
+def canonicalize(a: GF) -> GF:
+    lo, hi = _cond_sub_p(a.lo, a.hi)
+    return GF(lo, hi)
+
+
 def neg(a: GF) -> GF:
     is_zero = (a.lo == 0) & (a.hi == 0)
     lo, hi, _ = sub64(P_LO, P_HI, a.lo, a.hi)

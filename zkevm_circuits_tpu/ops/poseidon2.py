@@ -57,12 +57,22 @@ def _const_gf(values) -> GF:
     )
 
 
+# lazy (non-canonical) field ops inside the permutation — only the final
+# output is canonicalized, which removes the per-op conditional subtracts
+_ladd = gf.add_lazy
+_lmul = gf.mul_lazy
+
+
+def _ldouble(x: GF) -> GF:
+    return _ladd(x, x)
+
+
 def _sbox(x: GF) -> GF:
     # x^7 = x^3 * x^4 : vectorized over whatever shape x has
-    x2 = gf.square(x)
-    x3 = gf.mul(x2, x)
-    x4 = gf.square(x2)
-    return gf.mul(x3, x4)
+    x2 = _lmul(x, x)
+    x3 = _lmul(x2, x)
+    x4 = _lmul(x2, x2)
+    return _lmul(x3, x4)
 
 
 def _ext_matrix(state: GF) -> GF:
@@ -70,24 +80,40 @@ def _ext_matrix(state: GF) -> GF:
     shape = state.shape
     b = state.reshape(shape[:-1] + (3, 4))
     x0, x1, x2, x3 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
-    t0 = gf.add(x0, x1)
-    t1 = gf.add(x2, x3)
-    t2 = gf.add(gf.double(x1), t1)
-    t3 = gf.add(gf.double(x3), t0)
-    t4 = gf.add(gf.double(gf.double(t1)), t3)
-    t5 = gf.add(gf.double(gf.double(t0)), t2)
-    t6 = gf.add(t3, t5)
-    t7 = gf.add(t2, t4)
+    t0 = _ladd(x0, x1)
+    t1 = _ladd(x2, x3)
+    t2 = _ladd(_ldouble(x1), t1)
+    t3 = _ladd(_ldouble(x3), t0)
+    t4 = _ladd(_ldouble(_ldouble(t1)), t3)
+    t5 = _ladd(_ldouble(_ldouble(t0)), t2)
+    t6 = _ladd(t3, t5)
+    t7 = _ladd(t2, t4)
     w = gf.stack([t6, t5, t7, t4], axis=-1)  # (..., 3, 4)
-    s = gf.add(gf.add(w[..., 0, :], w[..., 1, :]), w[..., 2, :])  # (..., 4)
-    out = gf.add(w, gf.expand_dims(s, -2))  # broadcast over blocks
+    s = _ladd(_ladd(w[..., 0, :], w[..., 1, :]), w[..., 2, :])  # (..., 4)
+    out = _ladd(w, gf.expand_dims(s, -2))  # broadcast over blocks
     return out.reshape(shape)
 
 
+def _sum_lanes_lazy(state: GF) -> GF:
+    """lazy tree-sum over the trailing width-12 axis."""
+    cur = state
+    n = cur.shape[-1]
+    while n > 1:
+        half = n // 2
+        merged = _ladd(cur[..., :half], cur[..., half : 2 * half])
+        if n % 2:
+            merged = gf.concat([merged, cur[..., 2 * half :]], axis=-1)
+            n = half + 1
+        else:
+            n = half
+        cur = merged
+    return cur[..., 0]
+
+
 def _int_matrix(state: GF, mu_m1: GF) -> GF:
-    total = gf.sum_mod(state, axis=-1)  # (...,)
-    scaled = gf.mul(state, mu_m1)  # broadcast (...,12) * (12,)
-    return gf.add(scaled, gf.expand_dims(total, -1))
+    total = _sum_lanes_lazy(state)  # (...,)
+    scaled = _lmul(state, mu_m1)  # broadcast (...,12) * (12,)
+    return _ladd(scaled, gf.expand_dims(total, -1))
 
 
 def permutation(state: GF) -> GF:
@@ -98,12 +124,12 @@ def permutation(state: GF) -> GF:
     half = R_FULL // 2
 
     def full_round(st: GF, rc: GF) -> Tuple[GF, None]:
-        st = gf.add(st, rc)
+        st = _ladd(st, rc)
         st = _sbox(st)
         return _ext_matrix(st), None
 
     def partial_round(st: GF, rc: GF) -> Tuple[GF, None]:
-        lane0 = _sbox(gf.add(st[..., 0], rc))
+        lane0 = _sbox(_ladd(st[..., 0], rc))
         st = gf.concat([gf.expand_dims(lane0, -1), st[..., 1:]], axis=-1)
         return _int_matrix(st, mu_m1), None
 
@@ -111,7 +137,7 @@ def permutation(state: GF) -> GF:
     state, _ = jax.lax.scan(full_round, state, ext_rc[:half])
     state, _ = jax.lax.scan(partial_round, state, int_rc)
     state, _ = jax.lax.scan(full_round, state, ext_rc[half:])
-    return state
+    return gf.canonicalize(state)
 
 
 # ---------------------------------------------------------------------------

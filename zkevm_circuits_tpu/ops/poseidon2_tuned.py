@@ -23,12 +23,12 @@ def permutation_unrolled(state: GF) -> GF:
     half = p2.R_FULL // 2
 
     def full_round(st, r):
-        st = gf.add(st, ext_rc[r])
+        st = p2._ladd(st, ext_rc[r])
         st = p2._sbox(st)
         return p2._ext_matrix(st)
 
     def partial_round(st, r):
-        lane0 = p2._sbox(gf.add(st[..., 0], int_rc[r]))
+        lane0 = p2._sbox(p2._ladd(st[..., 0], int_rc[r]))
         st = gf.concat([gf.expand_dims(lane0, -1), st[..., 1:]], axis=-1)
         return p2._int_matrix(st, mu_m1)
 
@@ -39,7 +39,7 @@ def permutation_unrolled(state: GF) -> GF:
         state = partial_round(state, r)
     for r in range(half, p2.R_FULL):
         state = full_round(state, r)
-    return state
+    return gf.canonicalize(state)
 
 
 def absorb_round_unrolled(chunk: GF, state: GF) -> GF:
