@@ -29,6 +29,8 @@ def test_arithmetic_program():
         isa.encode_instruction(isa.MUL, src0=1, src1=2, dst0=5, dst1=6),
         isa.encode_instruction(isa.DIV, src0=1, src1=2, dst0=7, dst1=8),
         isa.encode_instruction(isa.XOR, src0=1, src1=2, dst0=9),
+        isa.encode_instruction(isa.SHL, src0=1, src1=0, dst0=10, imm=37),
+        isa.encode_instruction(isa.SHR, src0=1, src1=0, dst0=11, imm=99),
         isa.encode_instruction(isa.HALT),
     ]
     r1 = big - 12345
@@ -43,6 +45,8 @@ def test_arithmetic_program():
     assert reg_value(w, 3, 7) == r1 // r2
     assert reg_value(w, 3, 8) == r1 % r2
     assert reg_value(w, 4, 9) == r1 ^ r2
+    assert reg_value(w, 5, 10) == (r1 << 37) % (1 << 256)
+    assert reg_value(w, 6, 11) == r1 >> 99
     # halted state sticks to the end of the instance
     assert bool(np.asarray(w["halted_after"])[-1])
 

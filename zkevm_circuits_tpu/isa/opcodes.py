@@ -25,6 +25,8 @@ SUB = 2
 AND = 3
 OR = 4
 XOR = 5
+SHL = 6
+SHR = 7
 JUMP = 8
 MUL = 12
 DIV = 13
@@ -32,13 +34,13 @@ HALT = 15
 
 NAMES = {
     NOP: "nop", ADD: "add", SUB: "sub", AND: "and", OR: "or", XOR: "xor",
-    JUMP: "jump", MUL: "mul", DIV: "div", HALT: "halt",
+    SHL: "shl", SHR: "shr", JUMP: "jump", MUL: "mul", DIV: "div", HALT: "halt",
 }
 
 # ergs prices (provisional uniform-ish schedule)
 PRICES = {
-    NOP: 1, ADD: 2, SUB: 2, AND: 2, OR: 2, XOR: 2, JUMP: 2, MUL: 5, DIV: 5,
-    HALT: 0,
+    NOP: 1, ADD: 2, SUB: 2, AND: 2, OR: 2, XOR: 2, SHL: 3, SHR: 3, JUMP: 2,
+    MUL: 5, DIV: 5, HALT: 0,
 }
 
 # property bitmask bits (mirrors the reference's 48-bit property spread)
@@ -55,6 +57,8 @@ PROPS = {
     AND: PROP_WRITES_DST0 | PROP_SETS_FLAGS,
     OR: PROP_WRITES_DST0 | PROP_SETS_FLAGS,
     XOR: PROP_WRITES_DST0 | PROP_SETS_FLAGS,
+    SHL: PROP_WRITES_DST0 | PROP_SETS_FLAGS,
+    SHR: PROP_WRITES_DST0 | PROP_SETS_FLAGS,
     JUMP: PROP_IS_JUMP,
     MUL: PROP_WRITES_DST0 | PROP_WRITES_DST1 | PROP_SETS_FLAGS,
     DIV: PROP_WRITES_DST0 | PROP_WRITES_DST1 | PROP_SETS_FLAGS,

@@ -43,8 +43,10 @@ import numpy as np
 from ..base_structures.vm_state import REGISTERS_COUNT
 from ..isa import opcodes as isa
 from ..ops import nonnative as nn
+from .. import tables
 
 U32M = 0xFFFFFFFF
+_BITSHIFT_TABLE = tables.create_bitshift_table()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,6 +85,7 @@ def simulate(code: list, initial: dict, limit: int) -> dict:
             "regs_before", "flags_before", "pc_before", "ergs_before",
             "halted_before", "regs_after", "flags_after", "pc_after",
             "ergs_after", "halted_after", "mul_q_dummy",
+            "shift_amount", "shift_mult", "shift_rows", "shift_aux",
         ]
     }
 
@@ -116,6 +119,7 @@ def simulate(code: list, initial: dict, limit: int) -> dict:
         cols["halted_before"].append(halted)
 
         res, res_hi, carries, rem = 0, 0, [0] * 9, 0
+        shift_cols = (0, 1, 0)  # (amount, multiplier 2^s, aux)
         new_flags = dict(flags)
         new_pc = pc + 1 if not halted else pc
         writes0 = writes1 = False
@@ -162,6 +166,18 @@ def simulate(code: list, initial: dict, limit: int) -> dict:
                     res, rem = divmod(a, b)
                 res_hi = rem  # dst1 receives the remainder
                 new_flags = dict(of=b == 0, eq=res == 0, gt=rem == 0 and b != 0)
+            elif op in (isa.SHL, isa.SHR):
+                writes0 = True
+                s_amt = b & 0xFF
+                mult = 1 << s_amt
+                if op == isa.SHL:
+                    full = a * mult
+                    res = full % (1 << 256)
+                    shift_aux = full >> 256
+                else:
+                    res, shift_aux = divmod(a, mult)
+                shift_cols = (s_amt, mult, shift_aux)
+                new_flags = dict(of=False, eq=res == 0, gt=False)
             elif op == isa.JUMP:
                 new_pc = imm
             elif op == isa.HALT:
@@ -191,6 +207,11 @@ def simulate(code: list, initial: dict, limit: int) -> dict:
         cols["carries"].append(list(carries))
         cols["div_rem"].append(_to_limbs(rem))
         cols["mul_q_dummy"].append(0)
+        s_amt, s_mult, s_aux = shift_cols
+        cols["shift_amount"].append(s_amt)
+        cols["shift_mult"].append(_to_limbs(s_mult))
+        cols["shift_rows"].append([s_amt * 4 + idx for idx in range(4)])
+        cols["shift_aux"].append(_to_limbs(s_aux))
         cols["regs_after"].append([list(r) for r in regs])
         cols["flags_after"].append([flags["of"], flags["eq"], flags["gt"]])
         cols["pc_after"].append(pc)
@@ -334,6 +355,45 @@ def eval_constraints(w: dict, config: MainVmConfig) -> dict:
     res["div_relation"] = jnp.where(
         ex & (op == isa.DIV), jnp.where(b_nonzero, div_ok, div_by_zero_ok), True
     )
+
+    # ---- shifts: BitshiftTable lookups + mul/div relation (shifts.rs role) --
+    is_shift = ex & ((op == isa.SHL) | (op == isa.SHR))
+    s_amt = w["shift_amount"]
+    res["shift_amount"] = jnp.where(is_shift, s_amt == (b[:, 0] & 0xFF), True)
+    # 4 table lookups reconstruct the 256-bit multiplier 2^s
+    shift_lookup_ok = jnp.ones(N, dtype=bool)
+    for idx in range(4):
+        q = jnp.stack(
+            [
+                s_amt + (idx << 8),
+                w["shift_mult"][:, 2 * idx],
+                w["shift_mult"][:, 2 * idx + 1],
+            ],
+            axis=-1,
+        )
+        shift_lookup_ok = shift_lookup_ok & tables.lookup_check(
+            _BITSHIFT_TABLE, q, w["shift_rows"][:, idx]
+        )
+    res["shift_multiplier_lookup"] = jnp.where(is_shift, shift_lookup_ok, True)
+    m16 = _u32_to_u16_limbs(w["shift_mult"])
+    aux16 = _u32_to_u16_limbs(w["shift_aux"])
+    # SHL: a * m == aux * 2^256 + res    (aux = overflowed high part)
+    shl_id = nn.sides_equal(
+        [("prod", a16, m16, 1)],
+        [("lin", jnp.concatenate([lo16, aux16], axis=-1), 1)],
+        (N,),
+        ncoef=34,
+    )
+    res["shl_relation"] = jnp.where(ex & (op == isa.SHL), shl_id, True)
+    # SHR: a == res * m + aux, aux < m
+    shr_id = nn.sides_equal(
+        [("lin", a16, 1)],
+        [("prod", lo16, m16, 1), ("lin", aux16, 1)],
+        (N,),
+        ncoef=34,
+    )
+    aux_lt_m = _limbs_lt_256(w["shift_aux"], w["shift_mult"])
+    res["shr_relation"] = jnp.where(ex & (op == isa.SHR), shr_id & aux_lt_m, True)
 
     # ---- writeback: one-hot register merge (cycle.rs dst selects) ----
     props = jnp.zeros(N, jnp.uint32)
