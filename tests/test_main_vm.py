@@ -93,6 +93,49 @@ def test_wrong_fetch_rejected():
     assert not bool(np.asarray(res["opcode_fetch"]).all())
 
 
+def test_heap_ops_feed_ram_permutation():
+    """VM heap traffic -> memory queue -> validated by ram_permutation."""
+    from zkevm_circuits_tpu.models import main_vm as mvm
+    from zkevm_circuits_tpu.models import ram_permutation as ram
+    from zkevm_circuits_tpu.base_structures.memory_query import MemoryQueries
+
+    code = [
+        isa.encode_instruction(isa.HEAP_WRITE, src0=1, src1=2),  # heap[r1] = r2
+        isa.encode_instruction(isa.HEAP_READ, src0=1, dst0=3),   # r3 = heap[r1]
+        isa.encode_instruction(isa.HALT),
+    ]
+    init = VmStateColumns.initial(registers={1: 5, 2: 0xDEADBEEF})
+    w = vm.generate_witness(code, init, CFG)
+    res = vm.eval_constraints_jit(w, CFG)
+    for name, ok in res.items():
+        assert bool(np.asarray(ok).all()), name
+    assert reg_value(w, 1, 3) == 0xDEADBEEF
+
+    # feed the VM's memory queries into ram_permutation
+    mq = mvm.memory_queries(w, CFG)
+    pushed = np.asarray(w["mem_push"])
+    rows = [
+        dict(
+            timestamp=int(np.asarray(mq.timestamp)[i]),
+            memory_page=int(np.asarray(mq.memory_page)[i]),
+            index=int(np.asarray(mq.index)[i]),
+            rw_flag=bool(np.asarray(mq.rw_flag)[i]),
+            is_ptr=False,
+            value=sum(int(l) << (32 * k) for k, l in enumerate(np.asarray(mq.value)[i])),
+        )
+        for i in range(len(pushed))
+        if pushed[i]
+    ]
+    sorted_rows = sorted(rows, key=lambda r: (r["memory_page"], r["index"], r["timestamp"]))
+    rcfg = ram.RamPermutationConfig(limit=4)
+    rw = ram.generate_witness(
+        MemoryQueries.from_lists(rows), MemoryQueries.from_lists(sorted_rows), rcfg
+    )
+    rres = ram.eval_constraints_jit(rw, rcfg)
+    for name, ok in rres.items():
+        assert bool(np.asarray(ok).all()), name
+
+
 def test_skipped_condition_keeps_state():
     code = [
         isa.encode_instruction(isa.ADD, cond=isa.COND_EQ, src0=1, src1=2, dst0=3),

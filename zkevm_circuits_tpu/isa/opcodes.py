@@ -28,19 +28,22 @@ XOR = 5
 SHL = 6
 SHR = 7
 JUMP = 8
+HEAP_READ = 9  # dst0 = heap[word index src0.lo] (uma family, word-aligned)
+HEAP_WRITE = 10  # heap[word index src0.lo] = src1
 MUL = 12
 DIV = 13
 HALT = 15
 
 NAMES = {
     NOP: "nop", ADD: "add", SUB: "sub", AND: "and", OR: "or", XOR: "xor",
-    SHL: "shl", SHR: "shr", JUMP: "jump", MUL: "mul", DIV: "div", HALT: "halt",
+    SHL: "shl", SHR: "shr", JUMP: "jump", HEAP_READ: "heap_read",
+    HEAP_WRITE: "heap_write", MUL: "mul", DIV: "div", HALT: "halt",
 }
 
 # ergs prices (provisional uniform-ish schedule)
 PRICES = {
     NOP: 1, ADD: 2, SUB: 2, AND: 2, OR: 2, XOR: 2, SHL: 3, SHR: 3, JUMP: 2,
-    MUL: 5, DIV: 5, HALT: 0,
+    HEAP_READ: 4, HEAP_WRITE: 4, MUL: 5, DIV: 5, HALT: 0,
 }
 
 # property bitmask bits (mirrors the reference's 48-bit property spread)
@@ -49,6 +52,8 @@ PROP_WRITES_DST1 = 1 << 1
 PROP_SETS_FLAGS = 1 << 2
 PROP_IS_JUMP = 1 << 3
 PROP_IS_HALT = 1 << 4
+PROP_MEM_READ = 1 << 5
+PROP_MEM_WRITE = 1 << 6
 
 PROPS = {
     NOP: 0,
@@ -60,6 +65,8 @@ PROPS = {
     SHL: PROP_WRITES_DST0 | PROP_SETS_FLAGS,
     SHR: PROP_WRITES_DST0 | PROP_SETS_FLAGS,
     JUMP: PROP_IS_JUMP,
+    HEAP_READ: PROP_WRITES_DST0 | PROP_MEM_READ,
+    HEAP_WRITE: PROP_MEM_WRITE,
     MUL: PROP_WRITES_DST0 | PROP_WRITES_DST1 | PROP_SETS_FLAGS,
     DIV: PROP_WRITES_DST0 | PROP_WRITES_DST1 | PROP_SETS_FLAGS,
     HALT: PROP_IS_HALT,

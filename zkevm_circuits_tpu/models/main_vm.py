@@ -52,6 +52,8 @@ _BITSHIFT_TABLE = tables.create_bitshift_table()
 @dataclasses.dataclass(frozen=True)
 class MainVmConfig:
     limit: int  # cycles per instance
+    heap_page: int = 10  # the active context's heap page (uma family)
+    starting_timestamp: int = 8
 
 
 # ---------------------------------------------------------------------------
@@ -67,8 +69,15 @@ def _from_limbs(limbs):
     return sum(int(l) << (32 * k) for k, l in enumerate(limbs))
 
 
-def simulate(code: list, initial: dict, limit: int) -> dict:
-    """Run the mini-VM for `limit` cycles; returns dense witness columns."""
+def simulate(
+    code: list, initial: dict, limit: int, heap=None, heap_page=10, start_ts=8
+) -> dict:
+    """Run the mini-VM for `limit` cycles; returns dense witness columns.
+
+    `heap` is the backing word store {word_index: int} (the witness-oracle
+    role for heap reads); heap accesses emit MemoryQuery rows that thread the
+    VM's memory queue — consistency is later enforced by ram_permutation."""
+    heap = {} if heap is None else heap
     regs = [list(r) for r in initial["registers"]]
     flags = dict(of=initial["flag_of_lt"], eq=initial["flag_eq"], gt=initial["flag_gt"])
     pc = int(initial["pc"])
@@ -86,6 +95,7 @@ def simulate(code: list, initial: dict, limit: int) -> dict:
             "halted_before", "regs_after", "flags_after", "pc_after",
             "ergs_after", "halted_after", "mul_q_dummy",
             "shift_amount", "shift_mult", "shift_rows", "shift_aux",
+            "mem_push", "mem_rw", "mem_index", "mem_value",
         ]
     }
 
@@ -120,6 +130,7 @@ def simulate(code: list, initial: dict, limit: int) -> dict:
 
         res, res_hi, carries, rem = 0, 0, [0] * 9, 0
         shift_cols = (0, 1, 0)  # (amount, multiplier 2^s, aux)
+        mem_cols = (False, False, 0, 0)  # (push, rw, word index, value)
         new_flags = dict(flags)
         new_pc = pc + 1 if not halted else pc
         writes0 = writes1 = False
@@ -178,6 +189,15 @@ def simulate(code: list, initial: dict, limit: int) -> dict:
                     res, shift_aux = divmod(a, mult)
                 shift_cols = (s_amt, mult, shift_aux)
                 new_flags = dict(of=False, eq=res == 0, gt=False)
+            elif op == isa.HEAP_READ:
+                writes0 = True
+                widx = a & U32M
+                res = heap.get(widx, 0)
+                mem_cols = (True, False, widx, res)
+            elif op == isa.HEAP_WRITE:
+                widx = a & U32M
+                heap[widx] = b
+                mem_cols = (True, True, widx, b)
             elif op == isa.JUMP:
                 new_pc = imm
             elif op == isa.HALT:
@@ -212,6 +232,11 @@ def simulate(code: list, initial: dict, limit: int) -> dict:
         cols["shift_mult"].append(_to_limbs(s_mult))
         cols["shift_rows"].append([s_amt * 4 + idx for idx in range(4)])
         cols["shift_aux"].append(_to_limbs(s_aux))
+        m_push, m_rw, m_idx, m_val = mem_cols
+        cols["mem_push"].append(m_push)
+        cols["mem_rw"].append(m_rw)
+        cols["mem_index"].append(m_idx)
+        cols["mem_value"].append(_to_limbs(m_val))
         cols["regs_after"].append([list(r) for r in regs])
         cols["flags_after"].append([flags["of"], flags["eq"], flags["gt"]])
         cols["pc_after"].append(pc)
@@ -231,8 +256,35 @@ def simulate(code: list, initial: dict, limit: int) -> dict:
     return out
 
 
-def generate_witness(code: list, initial: dict, config: MainVmConfig) -> dict:
-    return simulate(code, initial, config.limit)
+def generate_witness(code: list, initial: dict, config: MainVmConfig, heap=None) -> dict:
+    w = simulate(
+        code, initial, config.limit, heap, config.heap_page, config.starting_timestamp
+    )
+    from ..ops import gf, queues
+    from ..base_structures.memory_query import encode_memory_queries
+
+    mq = memory_queries(w, config)
+    w["mem_chain"] = queues.simulate_chain(
+        gf.zeros((12,)), encode_memory_queries(mq), w["mem_push"]
+    )
+    return w
+
+
+def memory_queries(w: dict, config: MainVmConfig):
+    """The per-cycle MemoryQuery view of the uma columns — the tape that
+    feeds ram_permutation's unsorted queue."""
+    from ..base_structures.memory_query import MemoryQueries
+
+    N = w["mem_push"].shape[0]
+    ts = jnp.uint32(config.starting_timestamp) + jnp.arange(N, dtype=jnp.uint32)
+    return MemoryQueries(
+        timestamp=ts,
+        memory_page=jnp.full(N, config.heap_page, jnp.uint32),
+        index=w["mem_index"],
+        rw_flag=w["mem_rw"],
+        is_ptr=jnp.zeros(N, bool),
+        value=w["mem_value"],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -394,6 +446,30 @@ def eval_constraints(w: dict, config: MainVmConfig) -> dict:
     )
     aux_lt_m = _limbs_lt_256(w["shift_aux"], w["shift_mult"])
     res["shr_relation"] = jnp.where(ex & (op == isa.SHR), shr_id & aux_lt_m, True)
+
+    # ---- uma family: memory-queue pushes (heap read/write, word-aligned) --
+    from ..ops import gf as _gf, queues as _queues
+    from ..base_structures.memory_query import encode_memory_queries
+
+    is_mread = ex & (op == isa.HEAP_READ)
+    is_mwrite = ex & (op == isa.HEAP_WRITE)
+    res["mem_push_flags"] = w["mem_push"] == (is_mread | is_mwrite)
+    res["mem_rw_flags"] = jnp.where(w["mem_push"], w["mem_rw"] == is_mwrite, True)
+    res["mem_addressing"] = jnp.where(
+        w["mem_push"], w["mem_index"] == a[:, 0], True
+    )
+    # read: the opcode result IS the queried value (oracle-provided; global
+    # consistency is ram_permutation's job); write: the value is src1
+    res["mem_read_value"] = jnp.where(
+        is_mread, (w["result"] == w["mem_value"]).all(-1), True
+    )
+    res["mem_write_value"] = jnp.where(
+        is_mwrite, (w["mem_value"] == b).all(-1), True
+    )
+    mq = memory_queries(w, config)
+    res["mem_queue_chain"] = _queues.check_chain(
+        w["mem_chain"], encode_memory_queries(mq), w["mem_push"]
+    )
 
     # ---- writeback: one-hot register merge (cycle.rs dst selects) ----
     props = jnp.zeros(N, jnp.uint32)
