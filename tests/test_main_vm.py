@@ -136,6 +136,50 @@ def test_heap_ops_feed_ram_permutation():
         assert bool(np.asarray(ok).all()), name
 
 
+def test_log_ops_feed_demux():
+    """VM log opcodes -> unified log queue -> demultiplexed."""
+    from zkevm_circuits_tpu.models import demux_log_queue as dm
+    from zkevm_circuits_tpu.models import main_vm as mvm
+    from zkevm_circuits_tpu.base_structures.log_query import LogQueries
+
+    code = [
+        isa.encode_instruction(isa.LOG, src0=1, src1=2, dst1=isa.LOG_VARIANT_EVENT),
+        isa.encode_instruction(isa.LOG, src0=3, src1=4, dst1=isa.LOG_VARIANT_STORAGE_WRITE),
+        isa.encode_instruction(isa.HALT),
+    ]
+    init = VmStateColumns.initial(registers={1: 100, 2: 200, 3: 5, 4: 77})
+    w = vm.generate_witness(code, init, CFG)
+    res = vm.eval_constraints_jit(w, CFG)
+    for name, ok in res.items():
+        assert bool(np.asarray(ok).all()), name
+
+    lq = mvm.log_queries(w, CFG)
+    pushed = np.asarray(w["log_push"])
+    rows = []
+    for i in range(len(pushed)):
+        if not pushed[i]:
+            continue
+        rows.append(
+            dict(
+                address=sum(int(l) << (32 * k) for k, l in enumerate(np.asarray(lq.address)[i])),
+                key=sum(int(l) << (32 * k) for k, l in enumerate(np.asarray(lq.key)[i])),
+                read_value=sum(int(l) << (32 * k) for k, l in enumerate(np.asarray(lq.read_value)[i])),
+                written_value=sum(int(l) << (32 * k) for k, l in enumerate(np.asarray(lq.written_value)[i])),
+                aux_byte=int(np.asarray(lq.aux_byte)[i]),
+                rw_flag=True, rollback=False, is_service=False, shard_id=0,
+                tx_number_in_block=0,
+                timestamp=int(np.asarray(lq.timestamp)[i]),
+            )
+        )
+    dcfg = dm.DemuxConfig(limit=4)
+    dw = dm.generate_witness_jit(LogQueries.from_lists(rows), dcfg)
+    dres = dm.eval_constraints_jit(dw, dcfg)
+    for name, ok in dres.items():
+        assert bool(np.asarray(ok).all()), name
+    counts = {k: int(np.asarray(v)[-1]) for k, v in dw.out_counts.items()}
+    assert counts["events"] == 1 and counts["rollup_storage"] == 1
+
+
 def test_skipped_condition_keeps_state():
     code = [
         isa.encode_instruction(isa.ADD, cond=isa.COND_EQ, src0=1, src1=2, dst0=3),

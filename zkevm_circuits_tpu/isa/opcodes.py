@@ -30,6 +30,7 @@ SHR = 7
 JUMP = 8
 HEAP_READ = 9  # dst0 = heap[word index src0.lo] (uma family, word-aligned)
 HEAP_WRITE = 10  # heap[word index src0.lo] = src1
+LOG = 11  # log family: dst1 nibble = variant (0 event, 1 l1 msg, 2 sstore)
 MUL = 12
 DIV = 13
 HALT = 15
@@ -37,13 +38,18 @@ HALT = 15
 NAMES = {
     NOP: "nop", ADD: "add", SUB: "sub", AND: "and", OR: "or", XOR: "xor",
     SHL: "shl", SHR: "shr", JUMP: "jump", HEAP_READ: "heap_read",
-    HEAP_WRITE: "heap_write", MUL: "mul", DIV: "div", HALT: "halt",
+    HEAP_WRITE: "heap_write", LOG: "log", MUL: "mul", DIV: "div",
+    HALT: "halt",
 }
+
+LOG_VARIANT_EVENT = 0
+LOG_VARIANT_L1_MESSAGE = 1
+LOG_VARIANT_STORAGE_WRITE = 2
 
 # ergs prices (provisional uniform-ish schedule)
 PRICES = {
     NOP: 1, ADD: 2, SUB: 2, AND: 2, OR: 2, XOR: 2, SHL: 3, SHR: 3, JUMP: 2,
-    HEAP_READ: 4, HEAP_WRITE: 4, MUL: 5, DIV: 5, HALT: 0,
+    HEAP_READ: 4, HEAP_WRITE: 4, LOG: 6, MUL: 5, DIV: 5, HALT: 0,
 }
 
 # property bitmask bits (mirrors the reference's 48-bit property spread)
@@ -67,6 +73,7 @@ PROPS = {
     JUMP: PROP_IS_JUMP,
     HEAP_READ: PROP_WRITES_DST0 | PROP_MEM_READ,
     HEAP_WRITE: PROP_MEM_WRITE,
+    LOG: 0,
     MUL: PROP_WRITES_DST0 | PROP_WRITES_DST1 | PROP_SETS_FLAGS,
     DIV: PROP_WRITES_DST0 | PROP_WRITES_DST1 | PROP_SETS_FLAGS,
     HALT: PROP_IS_HALT,

@@ -54,6 +54,7 @@ class MainVmConfig:
     limit: int  # cycles per instance
     heap_page: int = 10  # the active context's heap page (uma family)
     starting_timestamp: int = 8
+    contract_address: int = 0x8001  # this context's address (log family)
 
 
 # ---------------------------------------------------------------------------
@@ -70,14 +71,18 @@ def _from_limbs(limbs):
 
 
 def simulate(
-    code: list, initial: dict, limit: int, heap=None, heap_page=10, start_ts=8
+    code: list, initial: dict, limit: int, heap=None, heap_page=10, start_ts=8,
+    storage=None,
 ) -> dict:
     """Run the mini-VM for `limit` cycles; returns dense witness columns.
 
-    `heap` is the backing word store {word_index: int} (the witness-oracle
-    role for heap reads); heap accesses emit MemoryQuery rows that thread the
-    VM's memory queue — consistency is later enforced by ram_permutation."""
+    `heap` {word_index: int} and `storage` {key: value} are the backing
+    stores (the witness-oracle role); heap accesses emit MemoryQuery rows
+    and log opcodes emit LogQuery rows that thread the VM's queues —
+    global consistency is enforced downstream (ram_permutation, demux,
+    storage_validity)."""
     heap = {} if heap is None else heap
+    storage = {} if storage is None else storage
     regs = [list(r) for r in initial["registers"]]
     flags = dict(of=initial["flag_of_lt"], eq=initial["flag_eq"], gt=initial["flag_gt"])
     pc = int(initial["pc"])
@@ -96,6 +101,7 @@ def simulate(
             "ergs_after", "halted_after", "mul_q_dummy",
             "shift_amount", "shift_mult", "shift_rows", "shift_aux",
             "mem_push", "mem_rw", "mem_index", "mem_value",
+            "log_push", "log_variant", "log_key", "log_value", "log_read_value",
         ]
     }
 
@@ -131,6 +137,7 @@ def simulate(
         res, res_hi, carries, rem = 0, 0, [0] * 9, 0
         shift_cols = (0, 1, 0)  # (amount, multiplier 2^s, aux)
         mem_cols = (False, False, 0, 0)  # (push, rw, word index, value)
+        log_cols = (False, 0, 0, 0, 0)  # (push, variant, key, value, read_value)
         new_flags = dict(flags)
         new_pc = pc + 1 if not halted else pc
         writes0 = writes1 = False
@@ -198,6 +205,13 @@ def simulate(
                 widx = a & U32M
                 heap[widx] = b
                 mem_cols = (True, True, widx, b)
+            elif op == isa.LOG:
+                variant = d1  # dst1 nibble selects the log variant
+                read_val = 0
+                if variant == isa.LOG_VARIANT_STORAGE_WRITE:
+                    read_val = storage.get(a, 0)
+                    storage[a] = b
+                log_cols = (True, variant, a, b, read_val)
             elif op == isa.JUMP:
                 new_pc = imm
             elif op == isa.HALT:
@@ -237,6 +251,12 @@ def simulate(
         cols["mem_rw"].append(m_rw)
         cols["mem_index"].append(m_idx)
         cols["mem_value"].append(_to_limbs(m_val))
+        l_push, l_var, l_key, l_val, l_rv = log_cols
+        cols["log_push"].append(l_push)
+        cols["log_variant"].append(l_var)
+        cols["log_key"].append(_to_limbs(l_key))
+        cols["log_value"].append(_to_limbs(l_val))
+        cols["log_read_value"].append(_to_limbs(l_rv))
         cols["regs_after"].append([list(r) for r in regs])
         cols["flags_after"].append([flags["of"], flags["eq"], flags["gt"]])
         cols["pc_after"].append(pc)
@@ -256,18 +276,68 @@ def simulate(
     return out
 
 
-def generate_witness(code: list, initial: dict, config: MainVmConfig, heap=None) -> dict:
+def generate_witness(
+    code: list, initial: dict, config: MainVmConfig, heap=None, storage=None
+) -> dict:
     w = simulate(
-        code, initial, config.limit, heap, config.heap_page, config.starting_timestamp
+        code, initial, config.limit, heap, config.heap_page,
+        config.starting_timestamp, storage,
     )
     from ..ops import gf, queues
+    from ..base_structures.log_query import encode_log_queries
     from ..base_structures.memory_query import encode_memory_queries
 
     mq = memory_queries(w, config)
     w["mem_chain"] = queues.simulate_chain(
         gf.zeros((12,)), encode_memory_queries(mq), w["mem_push"]
     )
+    lq = log_queries(w, config)
+    w["log_chain"] = queues.simulate_chain(
+        gf.zeros((4,)), encode_log_queries(lq), w["log_push"]
+    )
     return w
+
+
+def log_queries(w: dict, config: MainVmConfig):
+    """The per-cycle LogQuery view of the log columns — the unified log tape
+    that feeds demux_log_queue."""
+    from ..base_structures.log_query import LogQueries
+    from ..isa.system_params import (
+        EVENT_AUX_BYTE,
+        L1_MESSAGE_AUX_BYTE,
+        STORAGE_AUX_BYTE,
+    )
+
+    N = w["log_push"].shape[0]
+    ts = jnp.uint32(config.starting_timestamp) + jnp.arange(N, dtype=jnp.uint32)
+    var = w["log_variant"]
+    aux = jnp.where(
+        var == isa.LOG_VARIANT_EVENT,
+        jnp.uint32(EVENT_AUX_BYTE),
+        jnp.where(
+            var == isa.LOG_VARIANT_L1_MESSAGE,
+            jnp.uint32(L1_MESSAGE_AUX_BYTE),
+            jnp.uint32(STORAGE_AUX_BYTE),
+        ),
+    )
+    addr_limbs = jnp.zeros((N, 5), jnp.uint32)
+    for k in range(5):
+        addr_limbs = addr_limbs.at[:, k].set(
+            jnp.uint32((config.contract_address >> (32 * k)) & 0xFFFFFFFF)
+        )
+    return LogQueries(
+        address=addr_limbs,
+        key=w["log_key"],
+        read_value=w["log_read_value"],
+        written_value=w["log_value"],
+        aux_byte=aux,
+        rw_flag=jnp.ones(N, bool),
+        rollback=jnp.zeros(N, bool),
+        is_service=jnp.zeros(N, bool),
+        shard_id=jnp.zeros(N, jnp.uint32),
+        tx_number_in_block=jnp.zeros(N, jnp.uint32),
+        timestamp=ts,
+    )
 
 
 def memory_queries(w: dict, config: MainVmConfig):
@@ -469,6 +539,24 @@ def eval_constraints(w: dict, config: MainVmConfig) -> dict:
     mq = memory_queries(w, config)
     res["mem_queue_chain"] = _queues.check_chain(
         w["mem_chain"], encode_memory_queries(mq), w["mem_push"]
+    )
+
+    # ---- log family: unified log-queue pushes (forward-only; rollbacks are
+    # round-2 with the two-sided queue) ----
+    from ..base_structures.log_query import encode_log_queries
+
+    is_log = ex & (op == isa.LOG)
+    res["log_push_flags"] = w["log_push"] == is_log
+    res["log_fields"] = jnp.where(
+        w["log_push"],
+        (w["log_variant"] == w["dst1"])
+        & (w["log_key"] == a).all(-1)
+        & (w["log_value"] == b).all(-1),
+        True,
+    )
+    lq = log_queries(w, config)
+    res["log_queue_chain"] = _queues.check_chain(
+        w["log_chain"], encode_log_queries(lq), w["log_push"]
     )
 
     # ---- writeback: one-hot register merge (cycle.rs dst selects) ----
