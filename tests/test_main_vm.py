@@ -180,6 +180,87 @@ def test_log_ops_feed_demux():
     assert counts["events"] == 1 and counts["rollup_storage"] == 1
 
 
+def test_context_reads():
+    code = [
+        isa.encode_instruction(isa.CONTEXT, dst0=1, dst1=isa.CTX_VARIANT_ADDRESS),
+        isa.encode_instruction(isa.CONTEXT, dst0=2, dst1=isa.CTX_VARIANT_ERGS_LEFT),
+        isa.encode_instruction(isa.CONTEXT, dst0=3, dst1=isa.CTX_VARIANT_TIMESTAMP),
+        isa.encode_instruction(isa.HALT),
+    ]
+    w, res = run(code)
+    for name, ok in res.items():
+        assert bool(np.asarray(ok).all()), name
+    assert reg_value(w, 0, 1) == CFG.contract_address
+    assert reg_value(w, 2, 3) == CFG.starting_timestamp + 2
+
+
+def test_near_call_ret():
+    """nested near_call/ret with the callstack sponge verified per row."""
+    code = [
+        isa.encode_instruction(isa.NEAR_CALL, imm=3),        # 0: call f
+        isa.encode_instruction(isa.ADD, src0=1, src1=2, dst0=4),  # 1: after ret
+        isa.encode_instruction(isa.HALT),                    # 2
+        isa.encode_instruction(isa.NEAR_CALL, imm=6),        # 3: f: call g
+        isa.encode_instruction(isa.ADD, src0=1, src1=1, dst0=5),  # 4: after inner
+        isa.encode_instruction(isa.RET),                     # 5
+        isa.encode_instruction(isa.ADD, src0=2, src1=2, dst0=6),  # 6: g
+        isa.encode_instruction(isa.RET),                     # 7
+    ]
+    w, res = run(code, registers={1: 10, 2: 20})
+    for name, ok in res.items():
+        assert bool(np.asarray(ok).all()), name
+    # g ran (r6 = 40), then f resumed (r5 = 20), then main resumed (r4 = 30)
+    assert reg_value(w, CFG.limit - 1, 6) == 40
+    assert reg_value(w, CFG.limit - 1, 5) == 20
+    assert reg_value(w, CFG.limit - 1, 4) == 30
+    # depth returns to 0 and the sponge state returns to the empty state
+    assert int(np.asarray(w["cs_depth"])[-1]) == 0
+    assert (np.asarray(w["cs_state_lo"])[-1] == 0).all()
+
+
+def test_tampered_callstack_rejected():
+    import jax.numpy as jnp
+
+    code = [
+        isa.encode_instruction(isa.NEAR_CALL, imm=2),
+        isa.encode_instruction(isa.HALT),
+        isa.encode_instruction(isa.RET),
+    ]
+    w, _ = run(code)
+    bad = dict(w)
+    arr = np.asarray(w["ret_return_pc"]).copy()
+    rows = np.flatnonzero(arr)
+    arr[rows[0]] = 7  # claim a different return pc
+    bad["ret_return_pc"] = jnp.asarray(arr)
+    res = vm.eval_constraints_jit(bad, CFG)
+    ok_all = all(bool(np.asarray(v).all()) for v in res.values())
+    assert not ok_all
+
+
+def test_ptr_add():
+    from zkevm_circuits_tpu.base_structures.vm_state import REGISTERS_COUNT
+
+    code = [
+        isa.encode_instruction(isa.PTR_ADD, src0=1, src1=0, dst0=2, imm=0x40),
+        isa.encode_instruction(isa.HALT),
+    ]
+    init = VmStateColumns.initial(registers={1: (7 << 128) | 0x100})
+    init["register_is_ptr"] = [False] * REGISTERS_COUNT
+    init["register_is_ptr"][1] = True
+    w = vm.generate_witness(code, init, CFG)
+    res = vm.eval_constraints_jit(w, CFG)
+    for name, ok in res.items():
+        assert bool(np.asarray(ok).all()), name
+    assert reg_value(w, 0, 2) == (7 << 128) | 0x140
+    assert bool(np.asarray(w["regs_ptr_after"])[0, 2])  # dst stays a pointer
+
+    # probe: ptr_add from a non-pointer register is rejected
+    init2 = VmStateColumns.initial(registers={1: 0x100})
+    w2 = vm.generate_witness(code, init2, CFG)
+    res2 = vm.eval_constraints_jit(w2, CFG)
+    assert not bool(np.asarray(res2["ptr_requires_pointer"]).all())
+
+
 def test_skipped_condition_keeps_state():
     code = [
         isa.encode_instruction(isa.ADD, cond=isa.COND_EQ, src0=1, src1=2, dst0=3),

@@ -33,23 +33,33 @@ HEAP_WRITE = 10  # heap[word index src0.lo] = src1
 LOG = 11  # log family: dst1 nibble = variant (0 event, 1 l1 msg, 2 sstore)
 MUL = 12
 DIV = 13
+CONTEXT = 14  # context family: dst1 = variant (0 address, 1 ergs, 2 timestamp)
 HALT = 15
+NEAR_CALL = 16  # push return frame onto the callstack sponge; jump to imm
+RET = 17  # pop the callstack sponge; jump to the saved return pc
+PTR_ADD = 18  # fat-pointer offset add: dst0 = src0(ptr) + src1.lo; keeps is_ptr
 
 NAMES = {
     NOP: "nop", ADD: "add", SUB: "sub", AND: "and", OR: "or", XOR: "xor",
     SHL: "shl", SHR: "shr", JUMP: "jump", HEAP_READ: "heap_read",
     HEAP_WRITE: "heap_write", LOG: "log", MUL: "mul", DIV: "div",
-    HALT: "halt",
+    CONTEXT: "context", HALT: "halt", NEAR_CALL: "near_call", RET: "ret",
+    PTR_ADD: "ptr_add",
 }
 
 LOG_VARIANT_EVENT = 0
 LOG_VARIANT_L1_MESSAGE = 1
 LOG_VARIANT_STORAGE_WRITE = 2
 
+CTX_VARIANT_ADDRESS = 0
+CTX_VARIANT_ERGS_LEFT = 1
+CTX_VARIANT_TIMESTAMP = 2
+
 # ergs prices (provisional uniform-ish schedule)
 PRICES = {
     NOP: 1, ADD: 2, SUB: 2, AND: 2, OR: 2, XOR: 2, SHL: 3, SHR: 3, JUMP: 2,
-    HEAP_READ: 4, HEAP_WRITE: 4, LOG: 6, MUL: 5, DIV: 5, HALT: 0,
+    HEAP_READ: 4, HEAP_WRITE: 4, LOG: 6, MUL: 5, DIV: 5, CONTEXT: 2, HALT: 0,
+    NEAR_CALL: 10, RET: 5, PTR_ADD: 2,
 }
 
 # property bitmask bits (mirrors the reference's 48-bit property spread)
@@ -76,7 +86,11 @@ PROPS = {
     LOG: 0,
     MUL: PROP_WRITES_DST0 | PROP_WRITES_DST1 | PROP_SETS_FLAGS,
     DIV: PROP_WRITES_DST0 | PROP_WRITES_DST1 | PROP_SETS_FLAGS,
+    CONTEXT: PROP_WRITES_DST0,
     HALT: PROP_IS_HALT,
+    NEAR_CALL: PROP_IS_JUMP,
+    RET: PROP_IS_JUMP,
+    PTR_ADD: PROP_WRITES_DST0,
 }
 
 # conditions

@@ -72,7 +72,7 @@ def _from_limbs(limbs):
 
 def simulate(
     code: list, initial: dict, limit: int, heap=None, heap_page=10, start_ts=8,
-    storage=None,
+    storage=None, contract_address=0x8001,
 ) -> dict:
     """Run the mini-VM for `limit` cycles; returns dense witness columns.
 
@@ -84,6 +84,7 @@ def simulate(
     heap = {} if heap is None else heap
     storage = {} if storage is None else storage
     regs = [list(r) for r in initial["registers"]]
+    reg_ptr = list(initial.get("register_is_ptr", [False] * REGISTERS_COUNT))
     flags = dict(of=initial["flag_of_lt"], eq=initial["flag_eq"], gt=initial["flag_gt"])
     pc = int(initial["pc"])
     ergs = int(initial["ergs_remaining"])
@@ -102,8 +103,18 @@ def simulate(
             "shift_amount", "shift_mult", "shift_rows", "shift_aux",
             "mem_push", "mem_rw", "mem_index", "mem_value",
             "log_push", "log_variant", "log_key", "log_value", "log_read_value",
+            "ret_return_pc", "regs_ptr_before", "regs_ptr_after", "result_is_ptr",
         ]
     }
+    # callstack sponge (narrow 4-lane state; push absorbs the saved frame)
+    from ..utils import queues_ref
+
+    cs_stack = []  # python frames: (return_pc, previous sponge state)
+    cs_state = [0, 0, 0, 0]
+    cs_depth = 0
+    cs_states = [list(cs_state)]
+    cs_depths = [0]
+    ret_prev_states = []
 
     for _cycle in range(limit):
         word = code[pc] if (not halted and pc < len(code)) else isa.encode_instruction(isa.NOP)
@@ -129,6 +140,7 @@ def simulate(
         b = imm if use_imm else _from_limbs(regs[s1])
 
         cols["regs_before"].append([list(r) for r in regs])
+        cols["regs_ptr_before"].append(list(reg_ptr))
         cols["flags_before"].append([flags["of"], flags["eq"], flags["gt"]])
         cols["pc_before"].append(pc)
         cols["ergs_before"].append(ergs)
@@ -138,6 +150,8 @@ def simulate(
         shift_cols = (0, 1, 0)  # (amount, multiplier 2^s, aux)
         mem_cols = (False, False, 0, 0)  # (push, rw, word index, value)
         log_cols = (False, 0, 0, 0, 0)  # (push, variant, key, value, read_value)
+        ret_cols = ([0, 0, 0, 0], 0)  # (previous sponge state, return pc)
+        res_is_ptr = False
         new_flags = dict(flags)
         new_pc = pc + 1 if not halted else pc
         writes0 = writes1 = False
@@ -212,15 +226,43 @@ def simulate(
                     read_val = storage.get(a, 0)
                     storage[a] = b
                 log_cols = (True, variant, a, b, read_val)
+            elif op == isa.CONTEXT:
+                writes0 = True
+                res = {
+                    isa.CTX_VARIANT_ADDRESS: contract_address,
+                    isa.CTX_VARIANT_ERGS_LEFT: ergs,
+                    isa.CTX_VARIANT_TIMESTAMP: start_ts + _cycle,
+                }.get(d1, 0)
             elif op == isa.JUMP:
                 new_pc = imm
+            elif op == isa.NEAR_CALL:
+                frame_enc = [pc + 1] + [0] * 7
+                cs_stack.append((pc + 1, list(cs_state)))
+                cs_state = queues_ref.narrow_push(cs_state, frame_enc)
+                cs_depth += 1
+                new_pc = imm
+            elif op == isa.RET:
+                if cs_depth == 0:
+                    halted = True
+                else:
+                    ret_pc, prev_state = cs_stack.pop()
+                    ret_cols = (list(prev_state), ret_pc)
+                    cs_state = prev_state
+                    cs_depth -= 1
+                    new_pc = ret_pc
+            elif op == isa.PTR_ADD:
+                writes0 = True
+                res = (a + (b & U32M)) % (1 << 256)
+                res_is_ptr = True
             elif op == isa.HALT:
                 halted = True
         flags = new_flags if execute_op and (isa.PROPS.get(op, 0) & isa.PROP_SETS_FLAGS) else flags
         if execute_op and writes0:
             regs[d0] = _to_limbs(res)
+            reg_ptr[d0] = res_is_ptr
         if execute_op and writes1:
             regs[d1] = _to_limbs(res_hi)
+            reg_ptr[d1] = False
         pc = new_pc if not cols["halted_before"][-1] else pc
 
         cols["opcode_word_lo"].append(word & U32M)
@@ -257,7 +299,13 @@ def simulate(
         cols["log_key"].append(_to_limbs(l_key))
         cols["log_value"].append(_to_limbs(l_val))
         cols["log_read_value"].append(_to_limbs(l_rv))
+        cols["ret_return_pc"].append(ret_cols[1])
+        ret_prev_states.append(list(ret_cols[0]))
+        cs_states.append(list(cs_state))
+        cs_depths.append(cs_depth)
         cols["regs_after"].append([list(r) for r in regs])
+        cols["regs_ptr_after"].append(list(reg_ptr))
+        cols["result_is_ptr"].append(res_is_ptr)
         cols["flags_after"].append([flags["of"], flags["eq"], flags["gt"]])
         cols["pc_after"].append(pc)
         cols["ergs_after"].append(ergs)
@@ -273,6 +321,14 @@ def simulate(
     # the code tape (for opcode-fetch checking)
     out["code_lo"] = jnp.asarray(np.array([cw & U32M for cw in code], np.uint32))
     out["code_hi"] = jnp.asarray(np.array([cw >> 32 for cw in code], np.uint32))
+    # callstack sponge columns (field elements as lo/hi u32 pairs)
+    cs = np.asarray(cs_states, np.uint64)  # (N+1, 4)
+    out["cs_state_lo"] = jnp.asarray((cs & 0xFFFFFFFF).astype(np.uint32))
+    out["cs_state_hi"] = jnp.asarray((cs >> 32).astype(np.uint32))
+    rp = np.asarray(ret_prev_states, np.uint64)  # (N, 4)
+    out["ret_prev_lo"] = jnp.asarray((rp & 0xFFFFFFFF).astype(np.uint32))
+    out["ret_prev_hi"] = jnp.asarray((rp >> 32).astype(np.uint32))
+    out["cs_depth"] = jnp.asarray(np.asarray(cs_depths, np.uint32))
     return out
 
 
@@ -281,7 +337,7 @@ def generate_witness(
 ) -> dict:
     w = simulate(
         code, initial, config.limit, heap, config.heap_page,
-        config.starting_timestamp, storage,
+        config.starting_timestamp, storage, config.contract_address,
     )
     from ..ops import gf, queues
     from ..base_structures.log_query import encode_log_queries
@@ -559,6 +615,73 @@ def eval_constraints(w: dict, config: MainVmConfig) -> dict:
         w["log_chain"], encode_log_queries(lq), w["log_push"]
     )
 
+    # ---- context family: VM-state reads into dst0 ----
+    is_ctx = ex & (op == isa.CONTEXT)
+    rows_n = jnp.arange(N, dtype=jnp.uint32)
+    ctx_scalar = jnp.where(
+        w["dst1"] == isa.CTX_VARIANT_ERGS_LEFT,
+        w["ergs_after"],
+        jnp.where(
+            w["dst1"] == isa.CTX_VARIANT_TIMESTAMP,
+            jnp.uint32(config.starting_timestamp) + rows_n,
+            jnp.uint32(0),
+        ),
+    )
+    ctx_expected = jnp.zeros((N, 8), jnp.uint32).at[:, 0].set(ctx_scalar)
+    addr_row = jnp.asarray(
+        [(config.contract_address >> (32 * k)) & 0xFFFFFFFF for k in range(8)],
+        jnp.uint32,
+    )
+    ctx_expected = jnp.where(
+        (w["dst1"] == isa.CTX_VARIANT_ADDRESS)[:, None],
+        addr_row[None, :],
+        ctx_expected,
+    )
+    res["context_reads"] = jnp.where(is_ctx, (w["result"] == ctx_expected).all(-1), True)
+
+    # ---- call_ret family: callstack sponge push/pop (the saved-frame sponge
+    # of loading.rs:95-171 / call_ret_impl, reduced frame for near_call) ----
+    from ..ops.gf import GF as _GF
+
+    cs_before = _GF(w["cs_state_lo"][:-1], w["cs_state_hi"][:-1])
+    cs_after = _GF(w["cs_state_lo"][1:], w["cs_state_hi"][1:])
+    depth_b = w["cs_depth"][:-1]
+    depth_a = w["cs_depth"][1:]
+    is_call = ex & (op == isa.NEAR_CALL)
+    is_ret = ex & (op == isa.RET)
+    ret_pops = is_ret & (depth_b > 0)
+    ret_empty = is_ret & (depth_b == 0)
+    ones_n = jnp.ones(N, dtype=bool)
+
+    def frame_enc(pc_vals):
+        lo = jnp.zeros((N, 8), jnp.uint32).at[:, 0].set(pc_vals)
+        return _GF(lo, jnp.zeros((N, 8), jnp.uint32))
+
+    pushed = _queues.narrow_state_transition(
+        cs_before, frame_enc(w["pc_before"] + 1), ones_n
+    )
+    res["callstack_push"] = jnp.where(
+        is_call,
+        _gf.equal(pushed, cs_after).all(-1) & (depth_a == depth_b + 1),
+        True,
+    )
+    prev_state = _GF(w["ret_prev_lo"], w["ret_prev_hi"])
+    reabsorbed = _queues.narrow_state_transition(
+        prev_state, frame_enc(w["ret_return_pc"]), ones_n
+    )
+    res["callstack_pop"] = jnp.where(
+        ret_pops,
+        _gf.equal(reabsorbed, cs_before).all(-1)
+        & _gf.equal(cs_after, prev_state).all(-1)
+        & (depth_a == depth_b - 1),
+        True,
+    )
+    res["callstack_frozen"] = jnp.where(
+        ~is_call & ~ret_pops,
+        _gf.equal(cs_after, cs_before).all(-1) & (depth_a == depth_b),
+        True,
+    )
+
     # ---- writeback: one-hot register merge (cycle.rs dst selects) ----
     props = jnp.zeros(N, jnp.uint32)
     for o, p in isa.PROPS.items():
@@ -572,6 +695,30 @@ def eval_constraints(w: dict, config: MainVmConfig) -> dict:
     expected = jnp.where(is_d0[..., None], w["result"][:, None, :], regs_b)
     expected = jnp.where(is_d1[..., None], w["result_hi"][:, None, :], expected)
     res["register_writeback"] = (regs_a == expected).reshape(N, -1).all(-1)
+    # pointer-flag writeback (ptr family semantics: ptr ops keep is_ptr,
+    # everything else clears it on write)
+    exp_ptr = jnp.where(is_d0, w["result_is_ptr"][:, None], w["regs_ptr_before"])
+    exp_ptr = jnp.where(is_d1, False, exp_ptr)
+    res["register_ptr_writeback"] = (w["regs_ptr_after"] == exp_ptr).all(-1)
+    # ptr_add requires a pointer source and produces a pointer
+    is_ptr_op = ex & (op == isa.PTR_ADD)
+    src0_is_ptr = jnp.take_along_axis(
+        w["regs_ptr_before"], (w["src0"] % REGISTERS_COUNT)[:, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    res["ptr_requires_pointer"] = jnp.where(is_ptr_op, src0_is_ptr, True)
+    res["ptr_result_flag"] = w["result_is_ptr"] == is_ptr_op
+    # ptr_add value: src0 + low u32 of src1
+    ptr_sum_lo = a[:, 0] + b[:, 0]
+    ptr_c = (ptr_sum_lo < a[:, 0]).astype(jnp.uint32)
+    ptr_expected = a.at[:, 0].set(ptr_sum_lo)
+    carry = ptr_c
+    for k in range(1, 8):
+        nk = a[:, k] + carry
+        carry = (nk < a[:, k]).astype(jnp.uint32)
+        ptr_expected = ptr_expected.at[:, k].set(nk)
+    res["ptr_add_value"] = jnp.where(
+        is_ptr_op, (w["result"] == ptr_expected).all(-1), True
+    )
 
     # ---- flags / pc / ergs / halt transitions ----
     sets_flags = ex & ((props & isa.PROP_SETS_FLAGS) != 0)
@@ -595,7 +742,8 @@ def eval_constraints(w: dict, config: MainVmConfig) -> dict:
     )
 
     is_jump = ex & (op == isa.JUMP)
-    exp_pc = jnp.where(is_jump, w["imm"], w["pc_before"] + 1)
+    exp_pc = jnp.where(is_jump | is_call, w["imm"], w["pc_before"] + 1)
+    exp_pc = jnp.where(ret_pops, w["ret_return_pc"], exp_pc)
     exp_pc = jnp.where(halted_before, w["pc_before"], exp_pc)
     res["pc_update"] = w["pc_after"] == exp_pc
 
@@ -605,7 +753,7 @@ def eval_constraints(w: dict, config: MainVmConfig) -> dict:
     exp_ergs = jnp.where(ex, w["ergs_before"] - jnp.minimum(price, w["ergs_before"]), w["ergs_before"])
     res["ergs_update"] = w["ergs_after"] == exp_ergs
 
-    is_halt = ex & (op == isa.HALT)
+    is_halt = (ex & (op == isa.HALT)) | ret_empty
     res["halt_update"] = w["halted_after"] == (halted_before | is_halt)
 
     # ---- cycle-to-cycle continuity ----
