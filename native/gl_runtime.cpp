@@ -103,19 +103,25 @@ static inline void int_matrix(u64* s) {
 }
 
 extern "C" void gl_poseidon2_permute(u64* state) {
-  ext_matrix(state);
+  // keep the full state in locals so the compiler can register-allocate it
+  u64 s[12];
+  for (int i = 0; i < 12; ++i) s[i] = state[i];
+  ext_matrix(s);
   for (int r = 0; r < 4; ++r) {
-    for (int i = 0; i < 12; ++i) state[i] = sbox7(gl_add(state[i], EXT_RC[r][i]));
-    ext_matrix(state);
+#pragma GCC unroll 12
+    for (int i = 0; i < 12; ++i) s[i] = sbox7(gl_add(s[i], EXT_RC[r][i]));
+    ext_matrix(s);
   }
   for (int r = 0; r < 22; ++r) {
-    state[0] = sbox7(gl_add(state[0], INT_RC[r]));
-    int_matrix(state);
+    s[0] = sbox7(gl_add(s[0], INT_RC[r]));
+    int_matrix(s);
   }
   for (int r = 4; r < 8; ++r) {
-    for (int i = 0; i < 12; ++i) state[i] = sbox7(gl_add(state[i], EXT_RC[r][i]));
-    ext_matrix(state);
+#pragma GCC unroll 12
+    for (int i = 0; i < 12; ++i) s[i] = sbox7(gl_add(s[i], EXT_RC[r][i]));
+    ext_matrix(s);
   }
+  for (int i = 0; i < 12; ++i) state[i] = s[i];
 }
 
 // ---------------------------------------------------------------------------
