@@ -171,6 +171,19 @@ extern "C" void gl_narrow_chain(u64* tails_out, const u64* encodings,
   }
 }
 
+// K independent narrow (W=4) chains in parallel.
+extern "C" void gl_narrow_chains(u64* tails_out /*K*(n+1)*4*/,
+                                 const u64* encodings /*K*n*L*/,
+                                 const uint8_t* execute /*K*n or null*/,
+                                 const u64* init /*K*4*/, int64_t k, int64_t n,
+                                 int64_t enc_len) {
+#pragma omp parallel for schedule(static)
+  for (int64_t q = 0; q < k; ++q) {
+    gl_narrow_chain(tails_out + q * (n + 1) * 4, encodings + q * n * enc_len,
+                    execute ? execute + q * n : nullptr, init + q * 4, n, enc_len);
+  }
+}
+
 // Batched independent permutations (for tests/benches).
 extern "C" void gl_poseidon2_permute_batch(u64* states, int64_t n) {
 #pragma omp parallel for schedule(static)

@@ -125,3 +125,40 @@ def test_multi_instance_chaining():
     assert np.asarray(chain["fsm_handoff"]).all()
     # all 6 unique events survive
     assert int(np.asarray(w.result_count)[-1]) == 6
+
+
+def test_host_tape_pipeline_matches_device():
+    """numpy tapes + native chains produce the same witness as the jit path."""
+    import numpy as np
+
+    rows = [ev(10 * (i + 1), 100 + i, 1000 + i) for i in range(5)]
+    rows.append(ev(60, 105, 1060, rollback=False))
+    q = LogQueries.from_lists(rows)
+    cfg = ls.LogSorterConfig(limit=8)
+    w_dev = ls.generate_witness_jit(q, q, cfg)
+
+    def tapes(lq):
+        return dict(
+            address=np.asarray(lq.address), key=np.asarray(lq.key),
+            read_value=np.asarray(lq.read_value),
+            written_value=np.asarray(lq.written_value),
+            aux_byte=np.asarray(lq.aux_byte), rw_flag=np.asarray(lq.rw_flag),
+            rollback=np.asarray(lq.rollback), is_service=np.asarray(lq.is_service),
+            shard_id=np.asarray(lq.shard_id),
+            tx_number_in_block=np.asarray(lq.tx_number_in_block),
+            timestamp=np.asarray(lq.timestamp),
+        )
+
+    w_host = ls.generate_witness_host_tapes(tapes(q), tapes(q), cfg)
+    np.testing.assert_array_equal(
+        w_dev.chain_unsorted.astype_u64(), w_host.chain_unsorted.astype_u64()
+    )
+    np.testing.assert_array_equal(
+        w_dev.result_chain.astype_u64(), w_host.result_chain.astype_u64()
+    )
+    np.testing.assert_array_equal(w_dev.lhs.astype_u64(), w_host.lhs.astype_u64())
+    np.testing.assert_array_equal(
+        np.asarray(w_dev.result_add), np.asarray(w_host.result_add)
+    )
+    res = ls.eval_constraints_jit(w_host, cfg)
+    assert ls.all_ok(res)

@@ -173,6 +173,50 @@ def encode_with_rollback_flag(q: LogQueries) -> GF:
     )
 
 
+def encode_log_queries_np(
+    address: np.ndarray,
+    key: np.ndarray,
+    read_value: np.ndarray,
+    written_value: np.ndarray,
+    aux_byte: np.ndarray,
+    rw_flag: np.ndarray,
+    rollback: np.ndarray,
+    is_service: np.ndarray,
+    shard_id: np.ndarray,
+    tx_number_in_block: np.ndarray,
+    timestamp: np.ndarray,
+) -> np.ndarray:
+    """Vectorized host-side packing (numpy u64), bit-identical to
+    encode_log_queries — for the native witness pipeline."""
+    key64 = key.astype(np.uint64)
+    addr64 = address.astype(np.uint64)
+
+    def kb(i):
+        return (key64[..., i // 4] >> np.uint64(8 * (i % 4))) & np.uint64(0xFF)
+
+    def ab(i):
+        return (addr64[..., i // 4] >> np.uint64(8 * (i % 4))) & np.uint64(0xFF)
+
+    def hi3(b0, b1, b2):
+        return (b0 << np.uint64(32)) | (b1 << np.uint64(40)) | (b2 << np.uint64(48))
+
+    out = np.zeros(timestamp.shape + (20,), dtype=np.uint64)
+    rv = read_value.astype(np.uint64)
+    wv = written_value.astype(np.uint64)
+    for k in range(8):
+        out[..., k] = rv[..., k] | hi3(kb(3 * k), kb(3 * k + 1), kb(3 * k + 2))
+    stream = [kb(i) for i in range(24, 32)] + [ab(i) for i in range(16)]
+    for k in range(8):
+        out[..., 8 + k] = wv[..., k] | hi3(stream[3 * k], stream[3 * k + 1], stream[3 * k + 2])
+    out[..., 16] = timestamp.astype(np.uint64) | hi3(ab(16), ab(17), ab(18))
+    out[..., 17] = tx_number_in_block.astype(np.uint64) | hi3(
+        ab(19), aux_byte.astype(np.uint64), shard_id.astype(np.uint64)
+    )
+    out[..., 18] = rw_flag.astype(np.uint64) + 2 * is_service.astype(np.uint64)
+    out[..., 19] = rollback.astype(np.uint64)
+    return out
+
+
 def encode_log_query_ref(row: dict) -> list:
     """Host mirror of the packing for golden tests."""
     def limbs(v, k):

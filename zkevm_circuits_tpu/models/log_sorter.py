@@ -301,6 +301,144 @@ eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
 
 
 # ---------------------------------------------------------------------------
+# production-scale host pipeline (numpy tapes + native C++ narrow chains)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _finish_stage_host(
+    unsorted: LogQueries,
+    sorted_q: LogQueries,
+    execute: jnp.ndarray,
+    enc_u: GF,
+    enc_s: GF,
+    chain_u: GF,
+    chain_s: GF,
+    result_items: LogQueries,
+    result_add: jnp.ndarray,
+    result_chain: GF,
+    n: jnp.ndarray,
+):
+    total = execute.shape[0]
+    state_u = QueueState(gf.zeros((4,)), chain_u[total], n)
+    state_s = QueueState(gf.zeros((4,)), chain_s[total], n)
+    fs = chal.produce_fs_challenges(state_u, state_s, NUM_CHALLENGES, NUM_REPETITIONS)
+    factors_u = chal.masked_factors(chal.grand_product_factors(enc_u, fs), execute)
+    factors_s = chal.masked_factors(chal.grand_product_factors(enc_s, fs), execute)
+    ones = gf.ones((NUM_REPETITIONS,))
+    lhs = chal.product_accumulate(factors_u, ones)
+    rhs = chal.product_accumulate(factors_s, ones)
+    result_count = jnp.cumsum(result_add.astype(jnp.uint32), dtype=jnp.uint32)
+    return LogSorterWitness(
+        n=n, execute=execute, unsorted=unsorted, sorted=sorted_q,
+        enc_unsorted=enc_u, enc_sorted=enc_s, chain_unsorted=chain_u,
+        chain_sorted=chain_s, challenges=fs, lhs=lhs, rhs=rhs,
+        result_items=result_items, result_add=result_add,
+        result_chain=result_chain, result_count=result_count,
+    )
+
+
+def generate_witness_host_tapes(
+    tapes_unsorted: dict, tapes_sorted: dict, config: LogSorterConfig
+) -> LogSorterWitness:
+    """Full host pipeline: numpy LogQuery tapes in, native C++ sponge chains,
+    one upload, device scans.  Mirrors ram_permutation's host path for the
+    narrow-queue circuit family."""
+    from ..base_structures.log_query import encode_log_queries_np
+    from ..runtime import native
+
+    n = int(tapes_unsorted["timestamp"].shape[0])
+    num_instances = max(1, -(-n // config.limit))
+    total = num_instances * config.limit
+
+    def pad(t, count=None):
+        count = total if count is None else count
+        out = {}
+        for k, v in t.items():
+            if v.shape[0] < count:
+                padshape = (count - v.shape[0],) + v.shape[1:]
+                out[k] = np.concatenate([v, np.zeros(padshape, v.dtype)])
+            else:
+                out[k] = v
+        return out
+
+    tu, ts_ = pad(tapes_unsorted), pad(tapes_sorted)
+    execute_np = np.arange(total) < n
+    enc_u_np = encode_log_queries_np(**tu)
+    enc_s_np = encode_log_queries_np(**ts_)
+
+    # dedup flags + result payloads (numpy mirror of _row_flags/_cleaned)
+    ts_col = ts_["timestamp"].astype(np.uint64)
+    prev_ts = np.concatenate([[0], ts_col[:-1]])
+    prev_trivial = np.concatenate([[True], ~execute_np[:-1]])
+    prev_rollback = np.concatenate([[False], ts_["rollback"][:-1].astype(bool)])
+    same_log = prev_ts == ts_col  # row 0 compares against 0 (as on device)
+    trivial = ~execute_np
+    add = (~prev_trivial) & (~same_log | trivial) & (~prev_rollback)
+    final_add = bool(execute_np[total - 1]) and not bool(ts_["rollback"][total - 1])
+    result_add_np = np.concatenate([add, [final_add]])
+
+    def shift_extra(v):
+        prev = np.concatenate([np.zeros((1,) + v.shape[1:], v.dtype), v[:-1]])
+        return np.concatenate([prev, v[total - 1 : total]])
+
+    result_tape = dict(
+        address=shift_extra(ts_["address"]),
+        key=shift_extra(ts_["key"]),
+        read_value=np.zeros((total + 1, 8), ts_["read_value"].dtype),
+        written_value=shift_extra(ts_["written_value"]),
+        aux_byte=np.zeros(total + 1, ts_["aux_byte"].dtype),
+        rw_flag=np.zeros(total + 1, bool),
+        rollback=np.zeros(total + 1, bool),
+        is_service=shift_extra(ts_["is_service"].astype(bool)),
+        shard_id=shift_extra(ts_["shard_id"]),
+        tx_number_in_block=shift_extra(ts_["tx_number_in_block"]),
+        timestamp=np.zeros(total + 1, ts_["timestamp"].dtype),
+    )
+    enc_r_np = encode_log_queries_np(**result_tape)
+
+    # native chains (3 in parallel; result chain padded to same length)
+    enc_stack = np.zeros((3, total + 1, 20), np.uint64)
+    enc_stack[0, :total] = enc_u_np
+    enc_stack[1, :total] = enc_s_np
+    enc_stack[2] = enc_r_np
+    ex_stack = np.zeros((3, total + 1), np.uint8)
+    ex_stack[0, :total] = execute_np
+    ex_stack[1, :total] = execute_np
+    ex_stack[2] = result_add_np
+    chains = native.narrow_chains(enc_stack, ex_stack, np.zeros((3, 4), np.uint64))
+
+    def mq(t, count):
+        return LogQueries(
+            jnp.asarray(t["address"].astype(np.uint32)),
+            jnp.asarray(t["key"].astype(np.uint32)),
+            jnp.asarray(t["read_value"].astype(np.uint32)),
+            jnp.asarray(t["written_value"].astype(np.uint32)),
+            jnp.asarray(t["aux_byte"].astype(np.uint32)),
+            jnp.asarray(t["rw_flag"].astype(bool)),
+            jnp.asarray(t["rollback"].astype(bool)),
+            jnp.asarray(t["is_service"].astype(bool)),
+            jnp.asarray(t["shard_id"].astype(np.uint32)),
+            jnp.asarray(t["tx_number_in_block"].astype(np.uint32)),
+            jnp.asarray(t["timestamp"].astype(np.uint32)),
+        )
+
+    return _finish_stage_host(
+        mq(tu, total),
+        mq(ts_, total),
+        jnp.asarray(execute_np),
+        gf.from_u64(enc_u_np),
+        gf.from_u64(enc_s_np),
+        gf.from_u64(chains[0][: total + 1]),
+        gf.from_u64(chains[1][: total + 1]),
+        mq(result_tape, total + 1),
+        jnp.asarray(result_add_np),
+        gf.from_u64(chains[2]),
+        jnp.uint32(n),
+    )
+
+
+# ---------------------------------------------------------------------------
 # ClosedFormInput per instance
 # ---------------------------------------------------------------------------
 

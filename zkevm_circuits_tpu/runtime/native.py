@@ -59,6 +59,9 @@ def get_lib() -> ctypes.CDLL:
             lib.gl_narrow_chain.argtypes = [
                 u64p, u64p, u8p, u64p, ctypes.c_int64, ctypes.c_int64,
             ]
+            lib.gl_narrow_chains.argtypes = [
+                u64p, u64p, u8p, u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ]
             lib.gl_is_initialized.restype = ctypes.c_int
 
             from ..ops.poseidon2 import EXT_RC, INT_RC, MU
@@ -140,6 +143,20 @@ def full_state_chains_strided(
     lib.gl_full_state_chains_strided(
         _u64p(out), _u64p(enc), _u8p(ex), _u64p(ini), k, n, stride
     )
+    return out
+
+
+def narrow_chains(
+    encodings: np.ndarray, execute: Optional[np.ndarray], init: np.ndarray
+) -> np.ndarray:
+    """K narrow chains in parallel: (K,n,L), (K,4) -> (K, n+1, 4)."""
+    lib = get_lib()
+    enc = np.ascontiguousarray(encodings, dtype=np.uint64)
+    k, n, enc_len = enc.shape
+    ex = None if execute is None else np.ascontiguousarray(execute, dtype=np.uint8)
+    ini = np.ascontiguousarray(init, dtype=np.uint64)
+    out = np.empty((k, n + 1, 4), dtype=np.uint64)
+    lib.gl_narrow_chains(_u64p(out), _u64p(enc), _u8p(ex), _u64p(ini), k, n, enc_len)
     return out
 
 
