@@ -81,3 +81,17 @@ def test_gf2_ops():
     prod = gf2.mul(ga, gi)
     np.testing.assert_array_equal(prod.c0.astype_u64(), np.ones(n, np.uint64))
     np.testing.assert_array_equal(prod.c1.astype_u64(), np.zeros(n, np.uint64))
+
+
+def test_profiling_helpers():
+    import jax
+    from zkevm_circuits_tpu.utils import profiling
+
+    f = jax.jit(lambda x: x * 2)
+    t = profiling.time_jitted(f, jnp.arange(8))
+    assert t["compile_s"] > 0 and t["steady_s"] >= 0
+    rep = profiling.residual_report({"ok": jnp.ones(5, bool), "bad": jnp.asarray([True, False, True])})
+    assert rep["ok"]["failing"] == 0
+    assert rep["bad"]["failing"] == 1 and rep["bad"]["first_failure"] == 1
+    text = profiling.format_residual_report({"ok": jnp.ones(2, bool)})
+    assert "ok" in text
