@@ -111,3 +111,24 @@ def test_multiset_mismatch_rejected():
     )
     res = sd.eval_constraints_jit(w, cfg)
     assert not bool(np.asarray(res["grand_product_final"]).all())
+
+
+def test_multi_instance_chaining():
+    from zkevm_circuits_tpu.utils import protocol
+    import numpy as np
+
+    reqs = [dq((0x0101 << 224) + i, 100 + i, 10 * (i + 1), is_first=True) for i in range(6)]
+    cfg = sd.DecommitSorterConfig(limit=2)
+    w = sd.generate_witness_jit(
+        DecommitQueries.from_lists(reqs), DecommitQueries.from_lists(reqs), cfg
+    )
+    assert sd.all_ok(sd.eval_constraints_jit(w, cfg))
+    cf = sd.instance_compact_forms(w, cfg)
+    assert np.asarray(cf.start_flag).tolist() == [True, False, False]
+    assert np.asarray(cf.completion_flag).tolist() == [False, False, True]
+    chain = protocol.check_instance_chaining(
+        cf.start_flag, cf.completion_flag,
+        cf.hidden_fsm_input_commitment, cf.hidden_fsm_output_commitment,
+    )
+    assert np.asarray(chain["chained"]).all()
+    assert np.asarray(chain["fsm_handoff"]).all()

@@ -115,3 +115,26 @@ def test_timestamp_order_within_cell_enforced():
     )
     res = sv.eval_constraints_jit(w, cfg)
     assert not bool(np.asarray(res["timestamp_order"]).all())
+
+
+def test_multi_instance_chaining():
+    from zkevm_circuits_tpu.utils import protocol
+
+    rows = [sq(0xA + i, i + 1, 0, 10 + i, True) for i in range(6)]
+    cfg = sv.StorageValidityConfig(limit=2)
+    w = sv.generate_witness_jit(
+        LogQueries.from_lists(rows), LogQueries.from_lists(rows),
+        jnp.arange(6, dtype=jnp.uint32), cfg,
+    )
+    res = sv.eval_constraints_jit(w, cfg)
+    for name, ok in res.items():
+        assert bool(np.asarray(ok).all()), name
+    cf = sv.instance_compact_forms(w, cfg)
+    assert np.asarray(cf.start_flag).tolist() == [True, False, False]
+    assert np.asarray(cf.completion_flag).tolist() == [False, False, True]
+    chain = protocol.check_instance_chaining(
+        cf.start_flag, cf.completion_flag,
+        cf.hidden_fsm_input_commitment, cf.hidden_fsm_output_commitment,
+    )
+    assert np.asarray(chain["chained"]).all()
+    assert np.asarray(chain["fsm_handoff"]).all()

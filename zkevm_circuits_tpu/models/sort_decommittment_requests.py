@@ -269,3 +269,106 @@ def all_ok(residuals: dict) -> bool:
 
 generate_witness_jit = jax.jit(generate_witness, static_argnums=(2,))
 eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
+
+
+# ---------------------------------------------------------------------------
+# ClosedFormInput per instance
+# ---------------------------------------------------------------------------
+
+
+def _encode_queue_state(qs: QueueState) -> GF:
+    return gf.concat(
+        [qs.head, qs.tail, gf.expand_dims(gf.from_u32(qs.length), -1)], axis=-1
+    )
+
+
+def _encode_decommit_flat(q: DecommitQueries) -> GF:
+    """11-element field-order encoding of a DecommitQuery (code_hash(8),
+    page, is_first, timestamp)."""
+    b = lambda x: gf.from_u32(x.astype(jnp.uint32))
+    return gf.concat(
+        [
+            gf.from_u32(q.code_hash),
+            gf.expand_dims(gf.from_u32(q.page), -1),
+            gf.expand_dims(b(q.is_first), -1),
+            gf.expand_dims(gf.from_u32(q.timestamp), -1),
+        ],
+        axis=-1,
+    )
+
+
+def instance_compact_forms(
+    w: DecommitSorterWitness, config: DecommitSorterConfig
+):
+    """FSM mirrors CodeDecommittmentsDeduplicatorFSMInputOutput (ref
+    input.rs:26-37): [initial_qs(25), sorted_qs(25), final_qs(25), lhs(2),
+    rhs(2), previous_packed_key(9), first_encountered_timestamp(1),
+    previous_record(11)] = 100 elements."""
+    from ..utils import protocol
+
+    total = w.execute.shape[0]
+    limit = config.limit
+    k = total // limit
+    bounds = jnp.arange(k + 1, dtype=jnp.int32) * limit
+    ones = gf.ones((chal.DEFAULT_NUM_REPETITIONS,))
+
+    def fsm_at(b):
+        prev_row = jnp.maximum(b - 1, 0)
+        at_start = b == 0
+        lhs = gf.select(at_start, ones, GF(w.lhs.lo[prev_row], w.lhs.hi[prev_row]))
+        rhs = gf.select(at_start, ones, GF(w.rhs.lo[prev_row], w.rhs.hi[prev_row]))
+        remaining = w.n - jnp.minimum(b.astype(jnp.uint32), w.n)
+        qs_u = QueueState(w.chain_unsorted[b], w.chain_unsorted[total], remaining)
+        qs_s = QueueState(w.chain_sorted[b], w.chain_sorted[total], remaining)
+        res_idx = jnp.where(b == total, total + 1, b)
+        res_len = jnp.where(
+            b == 0, 0, w.result_count[jnp.where(b == total, total, prev_row)]
+        ).astype(jnp.uint32)
+        qs_res = QueueState(gf.zeros((12,)), w.result_chain[res_idx], res_len)
+        srow = w.sorted[prev_row]
+        sel = lambda v: jnp.where(at_start, jnp.zeros_like(v), v)
+        packed_key = gf.from_u32(
+            jnp.concatenate([sel(srow.timestamp)[None], sel(srow.code_hash)])
+        )
+        first_ts = jnp.where(at_start, 0, w.first_enc_ts[prev_row]).astype(jnp.uint32)
+        prev_record = DecommitQueries(
+            sel(srow.code_hash), sel(srow.page),
+            jnp.where(at_start, False, srow.is_first), sel(srow.timestamp),
+        )
+        return gf.concat(
+            [
+                _encode_queue_state(qs_u),
+                _encode_queue_state(qs_s),
+                _encode_queue_state(qs_res),
+                lhs,
+                rhs,
+                packed_key,
+                gf.expand_dims(gf.from_u32(first_ts), -1),
+                _encode_decommit_flat(prev_record),
+            ],
+            axis=-1,
+        )
+
+    fsm_states = jax.vmap(fsm_at)(bounds)
+    qs_u0 = QueueState(gf.zeros((12,)), w.chain_unsorted[total], w.n)
+    qs_s0 = QueueState(gf.zeros((12,)), w.chain_sorted[total], w.n)
+    obs_in_single = gf.concat(
+        [_encode_queue_state(qs_u0), _encode_queue_state(qs_s0)], axis=-1
+    )
+    obs_in = GF(
+        jnp.broadcast_to(obs_in_single.lo, (k,) + obs_in_single.lo.shape),
+        jnp.broadcast_to(obs_in_single.hi, (k,) + obs_in_single.hi.shape),
+    )
+    qs_final = QueueState(
+        gf.zeros((12,)), w.result_chain[total + 1], w.result_count[total]
+    )
+    out_single = _encode_queue_state(qs_final)
+    obs_out = GF(
+        jnp.broadcast_to(out_single.lo, (k,) + out_single.lo.shape),
+        jnp.broadcast_to(out_single.hi, (k,) + out_single.hi.shape),
+    )
+    start_flags = jnp.arange(k) == 0
+    completion_flags = (jnp.arange(k, dtype=jnp.uint32) + 1) * jnp.uint32(limit) >= w.n
+    return protocol.compact_form_from_parts(
+        start_flags, completion_flags, obs_in, obs_out, fsm_states[:-1], fsm_states[1:]
+    )

@@ -413,3 +413,91 @@ def all_ok(residuals: dict) -> bool:
 
 generate_witness_jit = jax.jit(generate_witness, static_argnums=(3,))
 eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
+
+
+# ---------------------------------------------------------------------------
+# ClosedFormInput per instance
+# ---------------------------------------------------------------------------
+
+
+def _encode_queue_state(qs: QueueState) -> GF:
+    return gf.concat(
+        [qs.head, qs.tail, gf.expand_dims(gf.from_u32(qs.length), -1)], axis=-1
+    )
+
+
+def instance_compact_forms(w: StorageValidityWitness, config: StorageValidityConfig):
+    """FSM mirrors StorageDeduplicatorFSMInputOutput (ref input.rs:38-51):
+    [lhs(2), rhs(2), unsorted_qs(9), intermediate_qs(9), final_qs(9),
+    cycle_idx(1), previous_packed_key(13), previous_key(8),
+    previous_address(5), previous_timestamp(1),
+    this_cell_has_explicit_read_and_rollback_depth_zero(1), base_value(8),
+    current_value(8), current_depth(1)] = 77 elements."""
+    from ..utils import protocol as proto
+
+    total = w.execute.shape[0]
+    limit = config.limit
+    k = total // limit
+    bounds = jnp.arange(k + 1, dtype=jnp.int32) * limit
+    ones = gf.ones((NUM_REPETITIONS,))
+    cs = w.cell_states
+
+    def fsm_at(b):
+        prev_row = jnp.maximum(b - 1, 0)
+        at_start = b == 0
+        lhs = gf.select(at_start, ones, GF(w.lhs.lo[prev_row], w.lhs.hi[prev_row]))
+        rhs = gf.select(at_start, ones, GF(w.rhs.lo[prev_row], w.rhs.hi[prev_row]))
+        remaining = w.n - jnp.minimum(b.astype(jnp.uint32), w.n)
+        qs_u = QueueState(w.chain_unsorted[b], w.chain_unsorted[total], remaining)
+        qs_s = QueueState(w.chain_sorted[b], w.chain_sorted[total], remaining)
+        res_idx = jnp.where(b == total, total + 1, b)
+        res_len = jnp.where(
+            b == 0, 0, w.result_count[jnp.where(b == total, total, prev_row)]
+        ).astype(jnp.uint32)
+        qs_res = QueueState(gf.zeros((4,)), w.result_chain[res_idx], res_len)
+        state_b = {key: v[b] for key, v in cs.items()}
+        packed = jnp.concatenate([state_b["prev_key"], state_b["prev_address"]])
+        return gf.concat(
+            [
+                lhs,
+                rhs,
+                _encode_queue_state(qs_u),
+                _encode_queue_state(qs_s),
+                _encode_queue_state(qs_res),
+                gf.expand_dims(gf.from_u32(b.astype(jnp.uint32)), -1),
+                gf.from_u32(packed),
+                gf.from_u32(state_b["prev_key"]),
+                gf.from_u32(state_b["prev_address"]),
+                gf.expand_dims(gf.from_u32(state_b["prev_timestamp"]), -1),
+                gf.expand_dims(proto.bool_to_gf(state_b["explicit_read"]), -1),
+                gf.from_u32(state_b["base_value"]),
+                gf.from_u32(state_b["current_value"]),
+                gf.expand_dims(gf.from_u32(state_b["depth"]), -1),
+            ],
+            axis=-1,
+        )
+
+    fsm_states = jax.vmap(fsm_at)(bounds)
+    qs_u0 = QueueState(gf.zeros((4,)), w.chain_unsorted[total], w.n)
+    qs_s0 = QueueState(gf.zeros((4,)), w.chain_sorted[total], w.n)
+    shard = gf.full((1,), config.shard_id)
+    obs_in_single = gf.concat(
+        [shard, _encode_queue_state(qs_u0), _encode_queue_state(qs_s0)], axis=-1
+    )
+    obs_in = GF(
+        jnp.broadcast_to(obs_in_single.lo, (k,) + obs_in_single.lo.shape),
+        jnp.broadcast_to(obs_in_single.hi, (k,) + obs_in_single.hi.shape),
+    )
+    qs_final = QueueState(
+        gf.zeros((4,)), w.result_chain[total + 1], w.result_count[total]
+    )
+    out_single = _encode_queue_state(qs_final)
+    obs_out = GF(
+        jnp.broadcast_to(out_single.lo, (k,) + out_single.lo.shape),
+        jnp.broadcast_to(out_single.hi, (k,) + out_single.hi.shape),
+    )
+    start_flags = jnp.arange(k) == 0
+    completion_flags = (jnp.arange(k, dtype=jnp.uint32) + 1) * jnp.uint32(limit) >= w.n
+    return proto.compact_form_from_parts(
+        start_flags, completion_flags, obs_in, obs_out, fsm_states[:-1], fsm_states[1:]
+    )
