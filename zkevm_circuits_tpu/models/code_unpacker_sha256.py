@@ -303,3 +303,22 @@ def all_ok(residuals: dict) -> bool:
 
 
 eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
+
+
+def instance_compact_form(w: CodeUnpackerWitness, config: CodeUnpackerConfig):
+    """Single-instance ClosedFormInput (CodeDecommitterInputData shape:
+    deduped decommit queue + memory queue; output = final memory queue)."""
+    from ..ops import gf as _gf
+    from ..utils import protocol
+
+    Q = w.request_execute.shape[0]
+    req_qs = protocol.encode_queue_state_generic(
+        _gf.zeros((12,)), w.request_chain[Q], w.num_requests
+    )
+    n_mem = w.write_execute.sum().astype(jnp.uint32)
+    mem_final = protocol.encode_queue_state_generic(
+        _gf.zeros((12,)), w.mem_chain[w.mem_chain.shape[0] - 1], n_mem
+    )
+    obs_in = req_qs[None]
+    obs_out = mem_final[None]
+    return protocol.single_instance_compact_form(obs_in, obs_out)

@@ -185,3 +185,24 @@ def output_queue_states(w: DemuxWitness) -> dict:
 
 generate_witness_jit = jax.jit(generate_witness, static_argnums=(1,))
 eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
+
+
+def instance_compact_form(w: DemuxWitness, config: DemuxConfig):
+    """Single-instance ClosedFormInput: input = the unified log queue state,
+    output = the 6 demuxed queue states (ref demux input.rs)."""
+    from ..utils import protocol
+
+    total = w.execute.shape[0]
+    in_qs = protocol.encode_queue_state_generic(
+        gf.zeros((4,)), w.input_chain[total], w.n
+    )
+    outs = []
+    for name in QUEUE_NAMES:
+        outs.append(
+            protocol.encode_queue_state_generic(
+                gf.zeros((4,)), w.out_chains[name][total], w.out_counts[name][total - 1]
+            )
+        )
+    obs_in = in_qs[None]
+    obs_out = gf.concat(outs, axis=-1)[None]
+    return protocol.single_instance_compact_form(obs_in, obs_out)

@@ -616,3 +616,20 @@ def all_ok(residuals: dict) -> bool:
 
 
 eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
+
+
+def instance_compact_form(w: EcrecoverWitness, config: EcrecoverConfig):
+    """Single-instance ClosedFormInput (precompile I/O shape)."""
+    from ..utils import protocol
+
+    C = w.call_execute.shape[0]
+    calls_qs = protocol.encode_queue_state_generic(
+        gf.zeros((4,)), w.call_chain[C], w.num_calls
+    )
+    n_mem = w.mem_execute.sum().astype(jnp.uint32)
+    mem_final = protocol.encode_queue_state_generic(
+        gf.zeros((12,)), w.mem_chain[w.mem_chain.shape[0] - 1], n_mem
+    )
+    obs_in = calls_qs[None]
+    obs_out = mem_final[None]
+    return protocol.single_instance_compact_form(obs_in, obs_out)

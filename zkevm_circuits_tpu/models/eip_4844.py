@@ -288,3 +288,19 @@ def all_ok(residuals: dict) -> bool:
 
 
 eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
+
+
+def instance_compact_form(w: EIP4844Witness, config: EIP4844Config):
+    """Single-instance ClosedFormInput (EIP4844OutputData: linear_hash +
+    output_hash; observable input is () — ref eip_4844 mod.rs:143-155)."""
+    import jax.numpy as jnp
+
+    from .. import tables  # noqa: F401  (namespace consistency)
+    from ..ops import gf as _gf
+    from ..utils import protocol
+
+    obs_in = _gf.zeros((1, 0))
+    lh = _gf.from_u32(w.linear_hash.astype(jnp.uint32))
+    oh = _gf.from_u32(w.output_hash.astype(jnp.uint32))
+    obs_out = _gf.concat([lh, oh], axis=-1)[None]
+    return protocol.single_instance_compact_form(obs_in, obs_out)

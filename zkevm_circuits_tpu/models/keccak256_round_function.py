@@ -439,3 +439,26 @@ def all_ok(residuals: dict) -> bool:
 
 
 eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
+
+
+def instance_compact_form(w: KeccakRoundWitness, config: KeccakRoundFunctionConfig):
+    """Single-instance ClosedFormInput (PrecompileFunctionInputData/OutputData
+    shape, ref base_structures/precompile_input_outputs/mod.rs:23-44);
+    multi-instance mid-call splitting is a round-2 item (ROADMAP.md)."""
+    from ..ops import gf as _gf
+    from ..utils import protocol
+
+    C = w.call_execute.shape[0]
+    calls_qs = protocol.encode_queue_state_generic(
+        _gf.zeros((4,)), w.call_chain[C], w.num_calls
+    )
+    n_mem = w.mem_order_execute.sum().astype(jnp.uint32)
+    mem_initial = protocol.encode_queue_state_generic(
+        _gf.zeros((12,)), w.mem_chain[0], jnp.uint32(0)
+    )
+    mem_final = protocol.encode_queue_state_generic(
+        _gf.zeros((12,)), w.mem_chain[w.mem_chain.shape[0] - 1], n_mem
+    )
+    obs_in = _gf.concat([calls_qs, mem_initial], axis=-1)[None]
+    obs_out = mem_final[None]
+    return protocol.single_instance_compact_form(obs_in, obs_out)

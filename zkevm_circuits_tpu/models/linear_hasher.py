@@ -240,3 +240,19 @@ def serialize_l2_l1_ref(row: dict) -> bytes:
 
 generate_witness_jit = jax.jit(generate_witness, static_argnums=(1,))
 eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
+
+
+def instance_compact_form(w: LinearHasherWitness, config: LinearHasherConfig):
+    """Single-instance ClosedFormInput: input = queue state, output = the
+    32-byte keccak hash (LinearHasherOutputData)."""
+    from ..ops import gf as _gf
+    from ..utils import protocol
+
+    total = w.execute.shape[0]
+    in_qs = protocol.encode_queue_state_generic(
+        _gf.zeros((4,)), w.input_chain[total], w.n
+    )
+    digest_gf = _gf.from_u32(w.digest.astype(jnp.uint32))
+    obs_in = in_qs[None]
+    obs_out = digest_gf[None]
+    return protocol.single_instance_compact_form(obs_in, obs_out)

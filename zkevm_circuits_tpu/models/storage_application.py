@@ -504,3 +504,24 @@ def all_ok(residuals: dict) -> bool:
 
 
 eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
+
+
+def instance_compact_form(w: StorageApplicationWitness, config: StorageApplicationConfig):
+    """Single-instance ClosedFormInput (StorageApplicationInput/OutputData:
+    shard, roots, enumeration counters, queue state, diffs hash)."""
+    from ..utils import protocol
+
+    Q = w.query_execute.shape[0]
+    N = w.row_execute.shape[0]
+    qs = protocol.encode_queue_state_generic(
+        gf.zeros((4,)), w.query_chain[Q], w.num_queries
+    )
+    shard = gf.full((1,), config.shard)
+    root0 = gf.from_u32(w.roots[0])
+    counter0 = gf.from_u32(w.counters[0])
+    obs_in = gf.concat([shard, root0, counter0, qs], axis=-1)[None]
+    root_final = gf.from_u32(w.roots[N])
+    counter_final = gf.from_u32(w.counters[N])
+    diffs = gf.from_u32(w.diffs_digest.astype(jnp.uint32))
+    obs_out = gf.concat([root_final, counter_final, diffs], axis=-1)[None]
+    return protocol.single_instance_compact_form(obs_in, obs_out)

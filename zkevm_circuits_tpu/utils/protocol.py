@@ -139,6 +139,34 @@ def input_output_commitment(compact: ClosedFormInputCompactForm) -> GF:
     return compact.commitment()
 
 
+def single_instance_compact_form(
+    observable_input_encoding: GF,
+    observable_output_encoding: GF,
+    hidden_fsm_encoding: GF = None,
+) -> ClosedFormInputCompactForm:
+    """Compact form for a circuit running as ONE instance (start=complete=
+    true — the linear_hasher/eip_4844 shape, ref linear_hasher mod.rs:67).
+
+    With start and completion both set, the masking rules zero both hidden
+    FSM commitments regardless of the payload."""
+    if hidden_fsm_encoding is None:
+        hidden_fsm_encoding = gf.zeros(observable_input_encoding.shape[:-1] + (0,))
+    batch = observable_input_encoding.shape[:-1]
+    t = jnp.ones(batch, dtype=bool)
+    return compact_form_from_parts(
+        t, t, observable_input_encoding, observable_output_encoding,
+        hidden_fsm_encoding, hidden_fsm_encoding,
+    )
+
+
+def encode_queue_state_generic(head: GF, tail: GF, length) -> GF:
+    """[head lanes, tail lanes, length] — the pinned QueueState encoding."""
+    return gf.concat(
+        [head, tail, gf.expand_dims(gf.from_u32(jnp.asarray(length, jnp.uint32)), -1)],
+        axis=-1,
+    )
+
+
 def check_instance_chaining(
     start_flags: jnp.ndarray,
     completion_flags: jnp.ndarray,
