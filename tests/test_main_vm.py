@@ -261,6 +261,60 @@ def test_ptr_add():
     assert not bool(np.asarray(res2["ptr_requires_pointer"]).all())
 
 
+def test_far_call_feeds_decommit_sorter():
+    """far_call -> decommit queue -> sort_decommittment_requests."""
+    from zkevm_circuits_tpu.base_structures.decommit_query import DecommitQueries
+    from zkevm_circuits_tpu.models import main_vm as mvm
+    from zkevm_circuits_tpu.models import sort_decommittment_requests as sd
+
+    CODE_HASH_A = (0x0101 << 224) | 0xABC
+    code = [
+        isa.encode_instruction(isa.FAR_CALL, src0=1, imm=3),  # call contract A
+        isa.encode_instruction(isa.FAR_CALL, src0=1, imm=3),  # call A again
+        isa.encode_instruction(isa.HALT),
+        isa.encode_instruction(isa.RET),  # "callee" body
+    ]
+    init = VmStateColumns.initial(registers={1: 0xAAAA}, ergs=64000)
+    w = vm.generate_witness(code, init, CFG, code_hashes={0xAAAA: CODE_HASH_A})
+    res = vm.eval_constraints_jit(w, CFG)
+    for name, ok in res.items():
+        assert bool(np.asarray(ok).all()), name
+    pushes = np.asarray(w["dec_push"])
+    assert int(pushes.sum()) == 2
+    firsts = np.asarray(w["dec_is_first"])[pushes]
+    assert firsts.tolist() == [True, False]  # second call to A is not first
+    # 63/64 ergs rule applied on the far_call rows
+    eb = np.asarray(w["ergs_before"])[0]
+    ea = np.asarray(w["ergs_after"])[0]
+    charged = eb - isa.PRICES[isa.FAR_CALL]
+    assert ea == charged - (charged >> 6)
+
+    # the VM's decommit tape feeds the decommit sorter
+    dq = mvm.decommit_queries(w, CFG)
+    rows = [
+        dict(
+            code_hash=sum(int(l) << (32 * k) for k, l in enumerate(np.asarray(dq.code_hash)[i])),
+            page=int(np.asarray(dq.page)[i]),
+            timestamp=int(np.asarray(dq.timestamp)[i]),
+            is_first=bool(np.asarray(dq.is_first)[i]),
+        )
+        for i in range(len(pushes))
+        if pushes[i]
+    ]
+    # both calls reuse the same allocated page (era invariant)
+    assert rows[0]["page"] == rows[1]["page"]
+    sorted_rows = sorted(rows, key=lambda r: (r["code_hash"], r["timestamp"]))
+    scfg = sd.DecommitSorterConfig(limit=4)
+    sw = sd.generate_witness_jit(
+        DecommitQueries.from_lists(rows), DecommitQueries.from_lists(sorted_rows), scfg
+    )
+    sres = sd.eval_constraints_jit(sw, scfg)
+    for name, ok in sres.items():
+        assert bool(np.asarray(ok).all()), name
+    # dedup keeps one request for hash A
+    assert int(np.asarray(sw.result_count)[-1]) == 1
+
+
 def test_skipped_condition_keeps_state():
     code = [
         isa.encode_instruction(isa.ADD, cond=isa.COND_EQ, src0=1, src1=2, dst0=3),

@@ -38,13 +38,15 @@ HALT = 15
 NEAR_CALL = 16  # push return frame onto the callstack sponge; jump to imm
 RET = 17  # pop the callstack sponge; jump to the saved return pc
 PTR_ADD = 18  # fat-pointer offset add: dst0 = src0(ptr) + src1.lo; keeps is_ptr
+FAR_CALL = 19  # call contract at src0.address: decommit push + 63/64 ergs +
+#               callstack frame; full 32-element context encoding: round 2
 
 NAMES = {
     NOP: "nop", ADD: "add", SUB: "sub", AND: "and", OR: "or", XOR: "xor",
     SHL: "shl", SHR: "shr", JUMP: "jump", HEAP_READ: "heap_read",
     HEAP_WRITE: "heap_write", LOG: "log", MUL: "mul", DIV: "div",
     CONTEXT: "context", HALT: "halt", NEAR_CALL: "near_call", RET: "ret",
-    PTR_ADD: "ptr_add",
+    PTR_ADD: "ptr_add", FAR_CALL: "far_call",
 }
 
 LOG_VARIANT_EVENT = 0
@@ -59,7 +61,7 @@ CTX_VARIANT_TIMESTAMP = 2
 PRICES = {
     NOP: 1, ADD: 2, SUB: 2, AND: 2, OR: 2, XOR: 2, SHL: 3, SHR: 3, JUMP: 2,
     HEAP_READ: 4, HEAP_WRITE: 4, LOG: 6, MUL: 5, DIV: 5, CONTEXT: 2, HALT: 0,
-    NEAR_CALL: 10, RET: 5, PTR_ADD: 2,
+    NEAR_CALL: 10, RET: 5, PTR_ADD: 2, FAR_CALL: 200,
 }
 
 # property bitmask bits (mirrors the reference's 48-bit property spread)
@@ -91,6 +93,7 @@ PROPS = {
     NEAR_CALL: PROP_IS_JUMP,
     RET: PROP_IS_JUMP,
     PTR_ADD: PROP_WRITES_DST0,
+    FAR_CALL: PROP_IS_JUMP,
 }
 
 # conditions

@@ -55,6 +55,7 @@ class MainVmConfig:
     heap_page: int = 10  # the active context's heap page (uma family)
     starting_timestamp: int = 8
     contract_address: int = 0x8001  # this context's address (log family)
+    code_page_base: int = 1024  # far_call allocates callee code pages from here
 
 
 # ---------------------------------------------------------------------------
@@ -72,7 +73,7 @@ def _from_limbs(limbs):
 
 def simulate(
     code: list, initial: dict, limit: int, heap=None, heap_page=10, start_ts=8,
-    storage=None, contract_address=0x8001,
+    storage=None, contract_address=0x8001, code_hashes=None, code_page_base=1024,
 ) -> dict:
     """Run the mini-VM for `limit` cycles; returns dense witness columns.
 
@@ -104,8 +105,11 @@ def simulate(
             "mem_push", "mem_rw", "mem_index", "mem_value",
             "log_push", "log_variant", "log_key", "log_value", "log_read_value",
             "ret_return_pc", "regs_ptr_before", "regs_ptr_after", "result_is_ptr",
+            "dec_push", "dec_code_hash", "dec_page", "dec_is_first",
         ]
     }
+    code_hashes = {} if code_hashes is None else code_hashes
+    code_hash_pages = {}  # hash -> allocated code page (reused on re-decommit)
     # callstack sponge (narrow 4-lane state; push absorbs the saved frame)
     from ..utils import queues_ref
 
@@ -151,6 +155,7 @@ def simulate(
         mem_cols = (False, False, 0, 0)  # (push, rw, word index, value)
         log_cols = (False, 0, 0, 0, 0)  # (push, variant, key, value, read_value)
         ret_cols = ([0, 0, 0, 0], 0)  # (previous sponge state, return pc)
+        dec_cols = (False, 0, 0, False)  # (push, code hash, page, is_first)
         res_is_ptr = False
         new_flags = dict(flags)
         new_pc = pc + 1 if not halted else pc
@@ -254,6 +259,24 @@ def simulate(
                 writes0 = True
                 res = (a + (b & U32M)) % (1 << 256)
                 res_is_ptr = True
+            elif op == isa.FAR_CALL:
+                # decommit request for the callee's code (witness oracle maps
+                # address -> versioned code hash), 63/64 ergs passing, and a
+                # return frame (reduced 8-element encoding this round)
+                callee = a % (1 << 160)
+                code_hash = code_hashes.get(callee, 0)
+                is_first = code_hash not in code_hash_pages
+                if is_first:
+                    code_hash_pages[code_hash] = code_page_base + len(code_hash_pages)
+                page = code_hash_pages[code_hash]
+                dec_cols = (True, code_hash, page, is_first)
+                ergs = ergs - (ergs >> 6)  # caller keeps 1/64 (burned here;
+                # restored with full frames in round 2)
+                frame_enc = [pc + 1] + [0] * 7
+                cs_stack.append((pc + 1, list(cs_state)))
+                cs_state = queues_ref.narrow_push(cs_state, frame_enc)
+                cs_depth += 1
+                new_pc = imm
             elif op == isa.HALT:
                 halted = True
         flags = new_flags if execute_op and (isa.PROPS.get(op, 0) & isa.PROP_SETS_FLAGS) else flags
@@ -303,6 +326,11 @@ def simulate(
         ret_prev_states.append(list(ret_cols[0]))
         cs_states.append(list(cs_state))
         cs_depths.append(cs_depth)
+        d_push, d_hash, d_page, d_first = dec_cols
+        cols["dec_push"].append(d_push)
+        cols["dec_code_hash"].append(_to_limbs(d_hash))
+        cols["dec_page"].append(d_page)
+        cols["dec_is_first"].append(d_first)
         cols["regs_after"].append([list(r) for r in regs])
         cols["regs_ptr_after"].append(list(reg_ptr))
         cols["result_is_ptr"].append(res_is_ptr)
@@ -333,11 +361,13 @@ def simulate(
 
 
 def generate_witness(
-    code: list, initial: dict, config: MainVmConfig, heap=None, storage=None
+    code: list, initial: dict, config: MainVmConfig, heap=None, storage=None,
+    code_hashes=None,
 ) -> dict:
     w = simulate(
         code, initial, config.limit, heap, config.heap_page,
         config.starting_timestamp, storage, config.contract_address,
+        code_hashes, config.code_page_base,
     )
     from ..ops import gf, queues
     from ..base_structures.log_query import encode_log_queries
@@ -351,7 +381,28 @@ def generate_witness(
     w["log_chain"] = queues.simulate_chain(
         gf.zeros((4,)), encode_log_queries(lq), w["log_push"]
     )
+    from ..base_structures.decommit_query import encode_decommit_queries
+
+    dq = decommit_queries(w, config)
+    w["dec_chain"] = queues.simulate_chain(
+        gf.zeros((12,)), encode_decommit_queries(dq), w["dec_push"]
+    )
     return w
+
+
+def decommit_queries(w: dict, config: MainVmConfig):
+    """The per-cycle DecommitQuery view of the far_call columns — the tape
+    that feeds sort_decommittment_requests (far_call.rs:1418 role)."""
+    from ..base_structures.decommit_query import DecommitQueries
+
+    N = w["dec_push"].shape[0]
+    ts = jnp.uint32(config.starting_timestamp) + jnp.arange(N, dtype=jnp.uint32)
+    return DecommitQueries(
+        code_hash=w["dec_code_hash"],
+        page=w["dec_page"],
+        is_first=w["dec_is_first"],
+        timestamp=ts,
+    )
 
 
 def log_queries(w: dict, config: MainVmConfig):
@@ -647,7 +698,8 @@ def eval_constraints(w: dict, config: MainVmConfig) -> dict:
     cs_after = _GF(w["cs_state_lo"][1:], w["cs_state_hi"][1:])
     depth_b = w["cs_depth"][:-1]
     depth_a = w["cs_depth"][1:]
-    is_call = ex & (op == isa.NEAR_CALL)
+    is_far = ex & (op == isa.FAR_CALL)
+    is_call = (ex & (op == isa.NEAR_CALL)) | is_far
     is_ret = ex & (op == isa.RET)
     ret_pops = is_ret & (depth_b > 0)
     ret_empty = is_ret & (depth_b == 0)
@@ -750,11 +802,45 @@ def eval_constraints(w: dict, config: MainVmConfig) -> dict:
     price = jnp.zeros(N, jnp.uint32)
     for o, p in isa.PRICES.items():
         price = jnp.where(op == o, jnp.uint32(p), price)
-    exp_ergs = jnp.where(ex, w["ergs_before"] - jnp.minimum(price, w["ergs_before"]), w["ergs_before"])
+    charged = w["ergs_before"] - jnp.minimum(price, w["ergs_before"])
+    # far_call passes 63/64 of the remaining ergs (opcodes far_call 63/64 rule)
+    exp_ergs = jnp.where(is_far, charged - (charged >> 6), charged)
+    exp_ergs = jnp.where(ex, exp_ergs, w["ergs_before"])
     res["ergs_update"] = w["ergs_after"] == exp_ergs
 
     is_halt = (ex & (op == isa.HALT)) | ret_empty
     res["halt_update"] = w["halted_after"] == (halted_before | is_halt)
+
+    # ---- far_call decommit-queue pushes ----
+    from ..base_structures.decommit_query import encode_decommit_queries
+
+    res["dec_push_flags"] = w["dec_push"] == is_far
+    # fresh pages are allocated sequentially per DISTINCT hash; a re-decommit
+    # reuses the first occurrence's page (the decommit sorter's
+    # same-page-within-group invariant)
+    firsts_before = jnp.concatenate(
+        [jnp.zeros(1, jnp.uint32),
+         jnp.cumsum((w["dec_push"] & w["dec_is_first"]).astype(jnp.uint32))[:-1]]
+    )
+    res["dec_page_allocation"] = jnp.where(
+        w["dec_push"] & w["dec_is_first"],
+        w["dec_page"] == jnp.uint32(config.code_page_base) + firsts_before,
+        True,
+    )
+    same_hash = (w["dec_code_hash"][:, None, :] == w["dec_code_hash"][None, :, :]).all(-1)
+    earlier = jnp.tril(jnp.ones((N, N), bool), k=-1)
+    pair_pushed = w["dec_push"][:, None] & w["dec_push"][None, :]
+    seen_before = (same_hash & earlier & w["dec_push"][None, :]).any(-1)
+    res["dec_is_first"] = jnp.where(
+        w["dec_push"], w["dec_is_first"] == ~seen_before, True
+    )
+    # page reuse: any two pushed rows with the same hash share the page
+    page_eq = w["dec_page"][:, None] == w["dec_page"][None, :]
+    res["dec_page_reuse"] = (~(same_hash & pair_pushed) | page_eq).all(-1)
+    dqv = decommit_queries(w, config)
+    res["dec_queue_chain"] = _queues.check_chain(
+        w["dec_chain"], encode_decommit_queries(dqv), w["dec_push"]
+    )
 
     # ---- cycle-to-cycle continuity ----
     prev = lambda x: x[:-1]
