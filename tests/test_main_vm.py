@@ -315,6 +315,26 @@ def test_far_call_feeds_decommit_sorter():
     assert int(np.asarray(sw.result_count)[-1]) == 1
 
 
+def test_out_of_ergs_panics():
+    """an opcode the frame cannot afford is masked into PANIC: no state
+    change, ergs drained to zero, execution halts."""
+    code = [
+        isa.encode_instruction(isa.ADD, src0=1, src1=2, dst0=3),  # price 2
+        isa.encode_instruction(isa.MUL, src0=1, src1=2, dst0=4, dst1=5),  # price 5
+        isa.encode_instruction(isa.HALT),
+    ]
+    init = VmStateColumns.initial(registers={1: 10, 2: 20}, ergs=4)
+    w = vm.generate_witness(code, init, CFG)
+    res = vm.eval_constraints_jit(w, CFG)
+    for name, ok in res.items():
+        assert bool(np.asarray(ok).all()), name
+    # the add ran (2 ergs left), the mul panicked
+    assert reg_value(w, 0, 3) == 30
+    assert reg_value(w, 1, 4) == 0  # masked — no writeback
+    assert int(np.asarray(w["ergs_after"])[1]) == 0
+    assert bool(np.asarray(w["halted_after"])[1])
+
+
 def test_skipped_condition_keeps_state():
     code = [
         isa.encode_instruction(isa.ADD, cond=isa.COND_EQ, src0=1, src1=2, dst0=3),

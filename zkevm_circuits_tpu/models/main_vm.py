@@ -138,7 +138,11 @@ def simulate(
             isa.COND_EQ: flags["eq"],
             isa.COND_NE: not flags["eq"],
         }[cond]
-        execute_op = (not halted) and cond_ok
+        # out-of-ergs masks the opcode into PANIC (decoded_opcode.rs:78-158
+        # fast-exception role, reduced: suppress effects, drain ergs, halt)
+        price_now = isa.PRICES.get(op, 0)
+        out_of_ergs = (not halted) and cond_ok and price_now > ergs
+        execute_op = (not halted) and cond_ok and not out_of_ergs
 
         a = _from_limbs(regs[s0])
         b = imm if use_imm else _from_limbs(regs[s1])
@@ -160,6 +164,9 @@ def simulate(
         new_flags = dict(flags)
         new_pc = pc + 1 if not halted else pc
         writes0 = writes1 = False
+        if out_of_ergs:
+            ergs = 0
+            halted = True
         if execute_op:
             price, props = isa.decode_table()[op]
             ergs = max(0, ergs - price)
@@ -517,7 +524,13 @@ def eval_constraints(w: dict, config: MainVmConfig) -> dict:
         | ((w["cond"] == isa.COND_NE) & ~eq)
     )
     halted_before = w["halted_before"]
-    res["condition_resolution"] = w["execute_op"] == (cond_ok & ~halted_before)
+    price0 = jnp.zeros(N, jnp.uint32)
+    for o, p in isa.PRICES.items():
+        price0 = jnp.where(w["op"] == o, jnp.uint32(p), price0)
+    out_of_ergs = cond_ok & ~halted_before & (price0 > w["ergs_before"])
+    res["condition_resolution"] = w["execute_op"] == (
+        cond_ok & ~halted_before & ~out_of_ergs
+    )
 
     # ---- operand resolution ----
     rows = jnp.arange(N)
@@ -806,9 +819,10 @@ def eval_constraints(w: dict, config: MainVmConfig) -> dict:
     # far_call passes 63/64 of the remaining ergs (opcodes far_call 63/64 rule)
     exp_ergs = jnp.where(is_far, charged - (charged >> 6), charged)
     exp_ergs = jnp.where(ex, exp_ergs, w["ergs_before"])
+    exp_ergs = jnp.where(out_of_ergs, 0, exp_ergs)  # panic drains ergs
     res["ergs_update"] = w["ergs_after"] == exp_ergs
 
-    is_halt = (ex & (op == isa.HALT)) | ret_empty
+    is_halt = (ex & (op == isa.HALT)) | ret_empty | out_of_ergs
     res["halt_update"] = w["halted_after"] == (halted_before | is_halt)
 
     # ---- far_call decommit-queue pushes ----
