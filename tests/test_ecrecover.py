@@ -91,6 +91,32 @@ def test_full_recovery_circuit():
     ) == expected
 
 
+def test_invalid_signature_masked():
+    """r out of range -> success=0, address=0, constraints still satisfied."""
+    memory = {
+        (80, 0): (123).to_bytes(32, "big"),
+        (80, 1): (27).to_bytes(32, "big"),
+        (80, 2): ec.N.to_bytes(32, "big"),  # r == n: out of range
+        (80, 3): (5).to_bytes(32, "big"),
+    }
+    w = er.generate_witness([make_call()], memory, CFG)
+    res = er.eval_constraints_jit(w, CFG)
+    for name, ok in res.items():
+        assert bool(np.asarray(ok).all()), name
+    assert int(np.asarray(w.scalars["call_valid"])[0]) == 0
+    assert int(np.asarray(w.writes.value)[0][0]) == 0  # success word = 0
+    assert (np.asarray(w.writes.value)[1] == 0).all()  # address word = 0
+
+    # probe: claiming validity for the out-of-range r must be rejected
+    import dataclasses as dc
+
+    sc = dict(w.scalars)
+    sc["call_valid"] = jnp.ones_like(w.scalars["call_valid"])
+    wb = dc.replace(w, scalars=sc)
+    res2 = er.eval_constraints_jit(wb, CFG)
+    assert not bool(np.asarray(res2["validity_range_flags"]).all())
+
+
 def test_tampered_ladder_rejected():
     import dataclasses as dc
 

@@ -19,9 +19,10 @@ over 16 x u16 limbs (ops/nonnative.py):
 with per-identity quotient witnesses.  All (calls x 512) rows are checked by
 one batched pass.  Scalar bit decompositions, u1/u2 derivation (mod n), the
 R-point lift (y^2 == x^3 + 7, parity) and the address keccak are checked the
-same way.  Exceptional inputs (invalid r/s/x, infinity results) are not yet
-masked — witness generation requires valid signatures (the reference's
-10-flag exception path is a TODO noted in SURVEY parity docs).
+same way.  Exceptional inputs are masked: r/s range+zero exception flags are
+recomputed in-circuit and invalid calls write (success=0, address=0) with
+their ladder rows gated off (the reference's 10-flag path reduced — the
+no-valid-y lift failure is witness-claimed this round, see ROADMAP.md).
 """
 
 from __future__ import annotations
@@ -78,6 +79,19 @@ class _W:
                 arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
             out[k] = jnp.asarray(arr)
         return out
+
+
+def _dummy_step(wb: _W):
+    """all-zero step row (layout filler for masked calls)."""
+    z16 = _limbs16(0)
+    z17 = _q_limbs(0)
+    wb.add(
+        base_x=z16, base_y=z16, acc_x=z16, acc_y=z16,
+        acc_inf=np.uint32(1), bit=np.uint32(0),
+        d_lam=z16, d_qa=z17, d_qb=z17, d_qc=z17, d_qd=z17, d_qe=z17, d_qf=z17,
+        a_lam=z16, a_qa=z17, a_qb=z17, a_qc=z17, a_qd=z17, a_qe=z17, a_qf=z17,
+        base_nx=z16, base_ny=z16, acc_nx=z16, acc_ny=z16, acc_ninf=np.uint32(1),
+    )
 
 
 def _double_witness(wb: _W, pt):
@@ -160,7 +174,13 @@ def generate_witness(calls: list, memory: dict, config: EcrecoverConfig) -> Ecre
     C = max(len(calls), 1)
     S = 2 * BITS
 
-    sc = {k: [] for k in ["u1", "u2", "r", "s", "h", "r_inv", "q_rinv", "q_u1", "q_u2"]}
+    sc = {
+        k: []
+        for k in [
+            "u1", "u2", "r", "s", "h", "r_inv", "q_rinv", "q_u1", "q_u2",
+            "call_valid",
+        ]
+    }
     pts = {k: [] for k in [
         "rx", "ry", "curve_w", "q_curve_w", "q_curve", "qx", "qy",
         "f_lam", "f_qa", "f_qb", "f_qc", "f_qd", "f_qe", "f_qf",
@@ -188,8 +208,42 @@ def generate_witness(calls: list, memory: dict, config: EcrecoverConfig) -> Ecre
                 dict(timestamp=ts, memory_page=in_page, index=in_off + j,
                      rw_flag=False, is_ptr=False, value=val)
             )
-        R = ec.lift_x(r + (recid >> 1) * ec.N, odd=bool(recid & 1))
-        assert R is not None, "round-1 limitation: witness requires valid signatures"
+        # exception flags (reduced set of new_optimized.rs:84 EXCEPTION_FLAGS):
+        # r/s range+zero checks recomputed in-circuit; the no-valid-y lift
+        # failure is a witness flag this round (ROADMAP)
+        invalid = not (1 <= r < ec.N and 1 <= s < ec.N)
+        R = None if invalid else ec.lift_x(r + (recid >> 1) * ec.N, odd=bool(recid & 1))
+        if R is None:
+            # masked failure: ladder gated off (2*BITS dummy rows keep the
+            # per-call step layout), (success=0, address=0) written
+            for _ in range(2 * BITS):
+                _dummy_step(step_builder)
+                step_exec.append(False)
+                step_call.append(ci)
+            sc["call_valid"].append(0)
+            for k2 in ["u1", "u2", "r_inv"]:
+                sc[k2].append(_limbs16(0))
+            sc["r"].append(_limbs16(r))
+            sc["s"].append(_limbs16(s))
+            sc["h"].append(_limbs16(h))
+            for k2 in ["q_rinv", "q_u1", "q_u2"]:
+                sc[k2].append(_q_limbs(0))
+            for k2 in ["rx", "ry", "curve_w", "qx", "qy", "acc1x", "acc1y",
+                       "acc2x", "acc2y", "f_lam"]:
+                pts[k2].append(_limbs16(0))
+            pts["q_curve_w"].append(_q_limbs(0))
+            pts["q_curve"].append(np.stack([_q_limbs(0), _q_limbs(0)]))
+            for k2 in ["f_qa", "f_qb", "f_qc", "f_qd", "f_qe", "f_qf"]:
+                pts[k2].append(_q_limbs(0))
+            addresses.append([0] * 8)
+            for word_i in range(2):
+                write_rows.append(
+                    dict(timestamp=ts + 1, memory_page=out_page,
+                         index=out_off + word_i, rw_flag=True, is_ptr=False,
+                         value=0)
+                )
+            continue
+        sc["call_valid"].append(1)
         r_inv = pow(r, ec.N - 2, ec.N)
         u1 = (-h * r_inv) % ec.N
         u2 = (s * r_inv) % ec.N
@@ -289,7 +343,10 @@ def generate_witness(calls: list, memory: dict, config: EcrecoverConfig) -> Ecre
             arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], np.uint32)])
         return jnp.asarray(arr)
 
-    scalars = {k: pad_stack(v, (17,) if k.startswith("q_") else (16,)) for k, v in sc.items()}
+    scalars = {
+        k: pad_stack(v, () if k == "call_valid" else ((17,) if k.startswith("q_") else (16,)))
+        for k, v in sc.items()
+    }
     points = {}
     for k, v in pts.items():
         tail = (2, 17) if k == "q_curve" else ((17,) if k in ("q_curve_w",) or k.startswith("f_q") else (16,))
@@ -417,6 +474,18 @@ def eval_constraints(w: EcrecoverWitness, config: EcrecoverConfig) -> dict:
     ncn = _nconst(sb)
     one = jnp.zeros((C, 16), jnp.uint32).at[:, 0].set(1)
     sc = w.scalars
+    valid = (sc["call_valid"] == 1) & w.call_execute
+    # claimed-valid calls must pass the recomputed r/s range checks
+    # (new_optimized.rs exception flags; the no-valid-y lift failure remains
+    # witness-claimed this round — ROADMAP)
+    zero16 = jnp.zeros((C, 16), jnp.uint32)
+    r_ok = nn.limbs_lt(sc["r"], _N) & (sc["r"] != zero16).any(-1)
+    s_ok = nn.limbs_lt(sc["s"], _N) & (sc["s"] != zero16).any(-1)
+    res["validity_range_flags"] = jnp.where(
+        w.call_execute,
+        jnp.where(valid, r_ok & s_ok, True) & jnp.where(~(r_ok & s_ok), ~valid, True),
+        True,
+    )
     ok = nn.sides_equal(
         [("prod", sc["r"], sc["r_inv"], 1)],
         [("prod", sc["q_rinv"], ncn, 1), ("lin", one, 1)], sb,
@@ -429,7 +498,7 @@ def eval_constraints(w: EcrecoverWitness, config: EcrecoverConfig) -> dict:
         [("prod", sc["s"], sc["r_inv"], 1)],
         [("prod", sc["q_u2"], ncn, 1), ("lin", sc["u2"], 1)], sb,
     )
-    res["scalar_derivation"] = jnp.where(w.call_execute, ok, True)
+    res["scalar_derivation"] = jnp.where(valid, ok, True)
 
     # R on curve: w == x^2 (mod p), then y^2 == x*w + 7 (mod p)
     pt = w.points
@@ -445,9 +514,9 @@ def eval_constraints(w: EcrecoverWitness, config: EcrecoverConfig) -> dict:
          ("prod", pt["q_curve"][:, 0], pc, 1)],
         sb,
     )
-    res["r_on_curve"] = jnp.where(w.call_execute, curve1 & curve2, True)
+    res["r_on_curve"] = jnp.where(valid, curve1 & curve2, True)
     res["r_point_range"] = jnp.where(
-        w.call_execute, nn.limbs_lt(pt["rx"], _P) & nn.limbs_lt(pt["ry"], _P), True
+        valid, nn.limbs_lt(pt["rx"], _P) & nn.limbs_lt(pt["ry"], _P), True
     )
 
     # ladder steps
@@ -540,7 +609,7 @@ def eval_constraints(w: EcrecoverWitness, config: EcrecoverConfig) -> dict:
         pt["f_qa"], pt["f_qb"], pt["f_qc"], pt["f_qd"], pt["f_qe"], pt["f_qf"],
         sb,
     )
-    res["final_add"] = jnp.where(w.call_execute, final_ok, True)
+    res["final_add"] = jnp.where(valid, final_ok, True)
     # the last step of each ladder must carry acc == acc1/acc2
     last1 = (idx % (2 * BITS)) == BITS - 1
     last2 = (idx % (2 * BITS)) == 2 * BITS - 1
@@ -592,20 +661,23 @@ def eval_constraints(w: EcrecoverWitness, config: EcrecoverConfig) -> dict:
     for i in range(20):
         shift = jnp.uint32(8 * ((19 - i) % 4))
         addr_limbs = addr_limbs.at[:, (19 - i) // 4].add(addr_bytes[:, i] << shift)
-    res["address"] = jnp.where(
-        w.call_execute, (addr_limbs == w.addresses).all(-1), True
-    )
+    res["address"] = jnp.where(valid, (addr_limbs == w.addresses).all(-1), True)
 
-    # memory writes: success word + address
+    # memory writes: success word (1/0 by validity) + address (0 when masked)
+    exp_success = jnp.where(valid, 1, 0).astype(jnp.uint32)
     res["write_success"] = jnp.where(
         w.call_execute,
-        (w.writes.value[0::2, 0] == 1)
+        (w.writes.value[0::2, 0] == exp_success)
         & (w.writes.value[0::2, 1:] == 0).all(-1)
         & w.writes.rw_flag[0::2],
         True,
     )
+    exp_addr = jnp.where(valid[:, None], w.addresses, 0)
     res["write_address"] = jnp.where(
-        w.call_execute, (w.writes.value[1::2] == w.addresses).all(-1), True
+        w.call_execute, (w.writes.value[1::2] == exp_addr).all(-1), True
+    )
+    res["masked_address_zero"] = jnp.where(
+        w.call_execute & ~valid, (w.addresses == 0).all(-1), True
     )
     res["mem_chain"] = queues.check_chain(w.mem_chain, w.mem_encodings, w.mem_execute)
     return res
