@@ -52,6 +52,9 @@ class DecommitQueries:
 
     @staticmethod
     def from_lists(rows) -> "DecommitQueries":
+        rows = list(rows)
+        if not rows:
+            return DecommitQueries.zeros((0,))
         ch, pg, fi, ts = [], [], [], []
         for r in rows:
             v = int(r["code_hash"])

@@ -77,6 +77,10 @@ class LogQueries:
         aux_byte,rw_flag,rollback,is_service,shard_id,tx_number_in_block,
         timestamp."""
 
+        rows = list(rows)
+        if not rows:
+            return LogQueries.zeros((0,))
+
         def limbs(v, k):
             return [(int(v) >> (32 * i)) & 0xFFFFFFFF for i in range(k)]
 

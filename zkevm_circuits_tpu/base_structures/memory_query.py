@@ -81,6 +81,9 @@ class MemoryQueries:
     def from_lists(rows) -> "MemoryQueries":
         """rows: iterable of dicts with keys timestamp/memory_page/index/
         rw_flag/is_ptr/value (value as python int < 2^256)."""
+        rows = list(rows)
+        if not rows:
+            return MemoryQueries.zeros((0,))
         ts, pg, ix, rw, ptr, vals = [], [], [], [], [], []
         for r in rows:
             ts.append(r["timestamp"])
