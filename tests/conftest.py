@@ -22,10 +22,25 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import pytest  # noqa: E402
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound process-cumulative XLA state: with 100+ compiled programs in one
+    process the XLA:CPU compiler has been observed to segfault mid-compile
+    late in the suite; dropping executable caches between modules avoids it.
+    """
+    yield
+    jax.clear_caches()
+# NOTE: do NOT share the persistent compilation cache with the TPU runs —
+# XLA:CPU AOT executables cached under a different host-feature mask segfault
+# on load (observed: SIGILL/segfault in compilation_cache.get_executable).
+# CPU compiles are cheap enough to redo per session.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual host devices"
