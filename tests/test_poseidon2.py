@@ -35,6 +35,8 @@ def test_golden_pin():
         13166768966533304066, 16646397356309775833,
         9541429963089087183, 11516789727474759615,
     ]
+    # the instance id every sponge-derived value depends on (ops/poseidon2.py)
+    assert poseidon2.INSTANCE_ID == 0x6354F5E6501D2929
 
 
 def test_hash_padded_matches():

@@ -170,6 +170,23 @@ def eval_constraints(w: EIP4844Witness, config: EIP4844Config) -> dict:
     E = config.elements
     res = {}
 
+    # witness limb/byte range checks: u16-limb identities in ops/nonnative
+    # are exact only for limbs < 2^16 (and chunk bytes < 2^8), so every
+    # witness-supplied column is range-checked before use
+    res["limb_range"] = (
+        nn.check_range(w.acc).all()
+        & nn.check_range(w.t).all()
+        & nn.check_range(w.mul_q).all()
+        & nn.check_range(w.add_k).all()
+        & nn.check_range(w.fe).all()
+        & nn.check_range(w.z[None]).all()
+        & (w.chunks <= 0xFF).all()
+        & (w.truncated <= 0xFF).all()
+        & (w.linear_hash <= 0xFF).all()
+        & (w.versioned_hash <= 0xFF).all()
+        & (w.opening_be <= 0xFF).all()
+    )
+
     # field elements from chunk bytes (31 LE bytes -> 16 u16 limbs)
     by = w.chunks
     fe = jnp.zeros((E, 16), jnp.uint32)

@@ -48,6 +48,21 @@ ALPHA = 7
 EXT_RC, INT_RC, MU = poseidon2_goldilocks_constants(gf.MODULUS, WIDTH, R_FULL, R_PARTIAL)
 _MU_MINUS_1 = [(m - 1) % gf.MODULUS for m in MU]
 
+# Identifies the exact round-constant instance every sponge-derived value
+# (queue tails, commitments, challenges) in this build depends on.  Any
+# cross-validation against values produced under a different constant set
+# (e.g. upstream boojum's) must first compare this id so mismatches fail
+# loudly instead of silently producing different commitments.  Pinned by
+# tests/test_poseidon2.py::test_golden_pin.
+import hashlib as _hashlib
+
+INSTANCE_ID = int.from_bytes(
+    _hashlib.sha256(
+        repr(("poseidon2-goldilocks-grain-v1", EXT_RC, INT_RC, MU)).encode()
+    ).digest()[:8],
+    "little",
+)
+
 
 def _const_gf(values) -> GF:
     arr = np.asarray(values, dtype=np.uint64)

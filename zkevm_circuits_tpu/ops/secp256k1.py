@@ -98,13 +98,20 @@ def recover(digest: int, r: int, s: int, recid: int):
 
 
 def sign(digest: int, priv: int, k: int):
-    """Deterministic-k test signing; returns (r, s, recid)."""
+    """Deterministic-k test signing; returns (r, s, recid).
+
+    s is normalized to the low-s convention the circuit enforces
+    (s < (n-1)/2 — ref new_optimized.rs:927-932); the parity bit of recid
+    flips with the negation."""
     R = mul(k, (GX, GY))
     r = R[0] % N
     assert r != 0
     s = pow(k, N - 2, N) * (digest + r * priv) % N
     assert s != 0
     recid = (R[1] & 1) | (2 if R[0] >= N else 0)
+    if s >= (N - 1) // 2:
+        s = N - s
+        recid ^= 1
     return r, s, recid
 
 

@@ -169,9 +169,12 @@ def execute_block(
 
     # ---- circuit 9: storage dedup ----
     if storages:
+        # sort by (address, key, i): the circuit's packed comparison key is
+        # address-most-significant (ref concatenate_key, storage_validity
+        # mod.rs:633-648)
         order = sorted(
             range(len(storages)),
-            key=lambda i: (storages[i]["key"], storages[i]["address"], i),
+            key=lambda i: (storages[i]["address"], storages[i]["key"], i),
         )
         sorted_st = [storages[i] for i in order]
         positions = list(order)  # cycle index within the storage sub-queue
