@@ -3,7 +3,7 @@
 import numpy as np
 
 from zkevm_circuits_tpu.base_structures.vm_state import VmStateColumns
-from zkevm_circuits_tpu.isa import opcodes as isa
+from zkevm_circuits_tpu.isa import opcodes_legacy as isa
 from zkevm_circuits_tpu.models import main_vm as vm
 
 CFG = vm.MainVmConfig(limit=16)

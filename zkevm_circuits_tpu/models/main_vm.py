@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..base_structures.vm_state import REGISTERS_COUNT
-from ..isa import opcodes as isa
+from ..isa import opcodes_legacy as isa
 from ..ops import nonnative as nn
 from .. import tables
 

@@ -99,7 +99,7 @@ def create_uma_ptr_read_cleanup_table() -> np.ndarray:
 
 def create_opcode_decoding_table() -> np.ndarray:
     """(n, 3): [opcode id, price, props bitmask] (VMOpcodeDecodingTable role)."""
-    from ..isa import opcodes as isa
+    from ..isa import opcodes_legacy as isa
 
     rows = [[op, isa.PRICES[op], isa.PROPS[op]] for op in sorted(isa.NAMES)]
     return np.asarray(rows, dtype=np.uint64)
