@@ -1,0 +1,20 @@
+"""main_vm v2 — the full EraVM circuit, rebuilt on the real zkEVM ISA.
+
+Replaces the round-1 mini-ISA VM (`models/main_vm.py`, kept for the legacy
+block driver during the migration).  Reference: `src/main_vm/` — entry point
+`main_vm_entry_point` (`mod.rs:47-232`), per-cycle `vm_cycle`
+(`cycle.rs:28-795`), prestate (`pre_state.rs:71-519`), decoder
+(`decoded_opcode.rs:42-220`), and the 11 opcode appliers (`opcodes/*`).
+
+Trace-first TPU design: `sim.py` is the witness oracle + tracer (host,
+numpy/native), `circuit.py` re-derives every cycle transition row-parallel
+on device (jax), `compact.py` slices a long run into `limit`-cycle
+ClosedFormInput instances.
+"""
+
+from .state import (  # noqa: F401
+    ExecutionContextRecord,
+    encode_context_records_np,
+    initial_bootloader_state,
+)
+from .sim import EraVM, VmConfig, assemble_code_words, simulate  # noqa: F401
