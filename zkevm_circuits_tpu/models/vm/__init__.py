@@ -18,3 +18,14 @@ from .state import (  # noqa: F401
     initial_bootloader_state,
 )
 from .sim import EraVM, VmConfig, assemble_code_words, simulate  # noqa: F401
+from .circuit import (  # noqa: F401
+    all_ok,
+    eval_constraints,
+    eval_constraints_jit,
+    prepare_device_witness,
+)
+from .compact import (  # noqa: F401
+    boot_and_exit_residuals,
+    encode_local_state,
+    vm_instance_compact_forms,
+)

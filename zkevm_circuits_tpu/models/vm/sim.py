@@ -1245,7 +1245,7 @@ class EraVM:
         )
         cs_col = np.zeros((N + 1, 12), np.uint64)
         ret_prev = np.zeros((N, 12), np.uint64)
-        ret_popped_enc = np.zeros((N, 32), np.uint64)
+        popped_recs = [None] * N
         for i in range(N):
             cs_col[i] = cur
             ev = self.cs_events[i]
@@ -1255,7 +1255,7 @@ class EraVM:
             elif ev is not None and ev[0] == "pop":
                 prev = sponge_stack.pop()
                 ret_prev[i] = prev
-                ret_popped_enc[i] = np.array(enc_record(ev[1]), np.uint64)
+                popped_recs[i] = ev[1]
                 cur = prev
         cs_col[N] = cur
 
@@ -1277,8 +1277,13 @@ class EraVM:
             "pubdata_refund", "dec_suggested_page", "fam_res0", "fam_res1",
             "src0_val", "src0_is_ptr", "src1_val", "src1_is_ptr",
             "raw_opcode_lo", "raw_opcode_hi",
+            "src0_did_read", "dst0_did_write", "dst0_page", "dst0_index",
         ]:
             w[key] = np.asarray([t[key] for t in tr])
+        w["zkporter_available"] = np.asarray(self.zkporter_available)
+        w["default_aa_code_hash"] = np.asarray(
+            _limbs8(self.default_aa_code_hash), np.uint32
+        )
 
         w["rb_prev_head"] = np.asarray(
             [
@@ -1296,7 +1301,44 @@ class EraVM:
                 for t in tr
             ]
         )
-        w["ret_popped_enc"] = ret_popped_enc
+        # popped-record field columns (the circuit re-packs the 32-element
+        # encoding and checks the pop sponge against them)
+        empty_rec = ExecutionContextRecord()
+        empty_rec._tail_slot = {"value": np.zeros(4, np.uint64)}
+        empty_rec._head_ref = ("tail", empty_rec._tail_slot)
+
+        def addr5(v):
+            return [(v >> (32 * k)) & U32 for k in range(5)]
+
+        pr = [rec if rec is not None else empty_rec for rec in popped_recs]
+        w["ret_popped_this"] = np.asarray([addr5(r.this) for r in pr], np.uint32)
+        w["ret_popped_caller"] = np.asarray([addr5(r.caller) for r in pr], np.uint32)
+        w["ret_popped_code_address"] = np.asarray(
+            [addr5(r.code_address) for r in pr], np.uint32
+        )
+        for name, attr in [
+            ("code_page", "code_page"), ("base_page", "base_page"),
+            ("heap_bound", "heap_upper_bound"),
+            ("aux_heap_bound", "aux_heap_upper_bound"),
+            ("pc", "pc"), ("sp", "sp"), ("eh", "exception_handler_loc"),
+            ("ergs", "ergs_remaining"), ("rq_len", "reverted_queue_segment_len"),
+            ("shard_this", "this_shard_id"), ("shard_caller", "caller_shard_id"),
+            ("shard_code", "code_shard_id"),
+        ]:
+            w["ret_popped_" + name] = np.asarray(
+                [getattr(r, attr) for r in pr], np.uint32
+            )
+        for name, attr in [
+            ("is_static", "is_static_execution"),
+            ("is_kernel", "is_kernel_mode"), ("is_local", "is_local_call"),
+        ]:
+            w["ret_popped_" + name] = np.asarray([getattr(r, attr) for r in pr], bool)
+        w["ret_popped_ctx_u128"] = np.asarray(
+            [list(r.context_u128_value_composite) for r in pr], np.uint32
+        )
+        w["ret_popped_rq_head"] = np.asarray([rec_head(r) for r in pr], np.uint64)
+        w["ret_popped_rq_tail"] = np.asarray([rec_tail(r) for r in pr], np.uint64)
+
         w["ret_prev_cs_sponge"] = ret_prev
         w["block_rollback_tail"] = block_tail
         return w
