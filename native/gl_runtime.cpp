@@ -237,4 +237,53 @@ extern "C" void gl_full_state_chains(u64* states_out /*K*(n+1)*12*/,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Baseline measurement: the ram_permutation per-row work on ONE core
+// ---------------------------------------------------------------------------
+// The stand-in-Rust CPU baseline (BASELINE.md): per trace row the checker
+// performs the two queue-sponge Poseidon2 permutations, the 2-repetition
+// grand-product folds over the 9-term linearized encodings on both sides,
+// the 96-bit (page,index,ts) sort comparison and the RW-semantics selects —
+// the same per-row work the reference's check_if_satisfied does on CPU.
+// Runs it sequentially over n rows; the caller times the call.
+extern "C" void gl_ram_row_check_bench(const u64* encodings /*n*8*/, int64_t n,
+                                       u64* out /*12*/) {
+  u64 chain_u[12] = {0}, chain_s[12] = {0};
+  u64 acc_u[2] = {1, 1}, acc_s[2] = {1, 1};
+  u64 ch[2][9];
+  for (int r = 0; r < 2; ++r)
+    for (int j = 0; j < 9; ++j) ch[r][j] = 0x1234567 + 977 * r + 31 * j;
+  u64 prev_key[3] = {0, 0, 0};
+  u64 bad = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const u64* e = encodings + i * 8;
+    // both queue sponges
+    std::memcpy(chain_u, e, 8 * sizeof(u64));
+    gl_poseidon2_permute(chain_u);
+    std::memcpy(chain_s, e, 8 * sizeof(u64));
+    gl_poseidon2_permute(chain_s);
+    // grand-product folds, 2 repetitions x 2 sides
+    for (int r = 0; r < 2; ++r) {
+      u64 f = ch[r][8];
+      for (int j = 0; j < 8; ++j) f = gl_add(f, gl_mul(ch[r][j], e[j]));
+      acc_u[r] = gl_mul(acc_u[r], f);
+      u64 g = gl_add(f, chain_s[0] & 0xFF);  // sorted-side factor differs
+      acc_s[r] = gl_mul(acc_s[r], g);
+    }
+    // (page, index, timestamp) strict ascending comparison + RW selects
+    u64 key[3] = {e[0] & 0xFFFFFFFF, (e[0] >> 32), e[1] & 0xFFFFFFFF};
+    bool gt = key[0] > prev_key[0] ||
+              (key[0] == prev_key[0] &&
+               (key[1] > prev_key[1] ||
+                (key[1] == prev_key[1] && key[2] > prev_key[2])));
+    u64 same_cell = (key[0] == prev_key[0] && key[1] == prev_key[1]);
+    u64 rw = (e[1] >> 32) & 1;
+    bad += (!gt) & (!same_cell) & (~rw & 1);
+    std::memcpy(prev_key, key, sizeof(prev_key));
+  }
+  for (int i = 0; i < 12; ++i)
+    out[i] = gl_add(gl_add(chain_u[i], chain_s[i]),
+                    gl_add(acc_u[i & 1], gl_add(acc_s[i & 1], bad)));
+}
+
 extern "C" int gl_is_initialized() { return g_initialized; }

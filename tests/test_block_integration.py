@@ -165,7 +165,8 @@ def test_block_flow():
         )
         qs = queues.QueueState(gf.zeros((12,)), qchain[k], jnp.uint32(k))
         proofs[t] = recursion.ProofSurrogate(
-            scheduler.node_input_commitment(t, lp[t], node_vk, qs), True
+            scheduler.node_input_commitment(t, lp[t], node_vk, qs), True,
+            vk_commitment=gf.from_u64(np.array(node_vk, dtype=np.uint64)),
         )
     result = scheduler.run_scheduler(
         compact_forms_by_type=compact_forms,

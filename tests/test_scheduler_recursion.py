@@ -45,6 +45,7 @@ def test_scheduler_block_flow():
     proof = recursion.ProofSurrogate(
         public_input=scheduler.node_input_commitment(8, lp[8], node_vk, qs),
         is_valid=True,
+        vk_commitment=gf.from_u64(np.array(node_vk, dtype=np.uint64)),
     )
 
     result = scheduler.run_scheduler(
@@ -77,6 +78,7 @@ def test_scheduler_rejects_bad_proof():
     bad_proof = recursion.ProofSurrogate(
         public_input=gf.from_u64(np.array([1, 2, 3, 4], dtype=np.uint64)),
         is_valid=True,
+        vk_commitment=gf.from_u64(np.array(node_vk, dtype=np.uint64)),
     )
     result = scheduler.run_scheduler(
         {8: cf}, {8: bad_proof}, lp, node_vk, b"\x11" * 32,
@@ -134,3 +136,104 @@ def test_interblock_aggregation():
     assert len(h) == 32
     h2 = recursion.interblock_aggregate_keccak(list(reversed(pis)))
     assert h != h2
+
+
+def test_node_layer_verify_batched():
+    # fully-batched interior node check (node_layer/mod.rs:135-249): children
+    # proofs verified against recomputed commitments + the right VK
+    n, m, leaf_cap = 8, 4, 2
+    types = gf.full((n,), 8)
+    commitments = gf.from_u64(np.arange(32, dtype=np.uint64).reshape(n, 4))
+    chain = recursion.build_recursion_queue(
+        types, commitments, jnp.ones(n, dtype=bool)
+    )
+    parent = queues.QueueState(chain[0], chain[n], jnp.uint32(n))
+    bounds = jnp.asarray([0, 2, 4, 6, 8])
+    lp = leaf_params(8)
+    node_vk = gf.from_u64(np.array([31, 32, 33, 34], dtype=np.uint64))
+
+    heads, tails = chain[bounds[:-1]], chain[bounds[1:]]
+    lengths = bounds[1:] - bounds[:-1]
+    # n (=8) <= leaf_cap*m (=8) -> children are leaves -> leaf commitments
+    child_cms = recursion.leaf_input_commitments_batched(lp, heads, tails, lengths)
+    leaf_vk = gf.from_u64(np.array(lp.leaf_vk_commitment, dtype=np.uint64))
+    proofs = recursion.ProofBatch(
+        public_input=child_cms,
+        is_valid=jnp.ones(m, dtype=bool),
+        vk_commitment=gf.GF(
+            jnp.broadcast_to(leaf_vk.lo, (m, 4)),
+            jnp.broadcast_to(leaf_vk.hi, (m, 4)),
+        ),
+    )
+    res = recursion.node_layer_verify(
+        8, parent, chain, bounds, leaf_cap, lp, node_vk, proofs
+    )
+    assert all(bool(np.asarray(v).all()) for k, v in res.items())
+    assert bool(np.asarray(res["children_are_leaves"]))
+
+    # a proof under the WRONG VK is rejected (the VK-decision wiring)
+    bad = recursion.ProofBatch(
+        public_input=child_cms,
+        is_valid=jnp.ones(m, dtype=bool),
+        vk_commitment=gf.GF(
+            jnp.broadcast_to(node_vk.lo, (m, 4)),
+            jnp.broadcast_to(node_vk.hi, (m, 4)),
+        ),
+    )
+    res2 = recursion.node_layer_verify(
+        8, parent, chain, bounds, leaf_cap, lp, node_vk, bad
+    )
+    assert not bool(np.asarray(res2["children_proofs"]))
+
+    # the whole check jits
+    import jax
+
+    jitted = jax.jit(
+        lambda ch, pr: recursion.node_layer_verify(
+            8, parent, ch, bounds, leaf_cap, lp, node_vk, pr
+        )
+    )
+    res3 = jitted(chain, proofs)
+    assert bool(np.asarray(res3["children_proofs"]))
+
+
+def test_leaf_layer_vk_check():
+    n = 3
+    types = gf.full((n,), 8)
+    commitments = gf.from_u64(
+        np.arange(1, n * 4 + 1, dtype=np.uint64).reshape(n, 4)
+    )
+    execute = jnp.ones(n, dtype=bool)
+    vk = (21, 22, 23, 24)
+    good = [
+        recursion.ProofSurrogate(
+            commitments[i], True,
+            vk_commitment=gf.from_u64(np.array(vk, dtype=np.uint64)),
+        )
+        for i in range(n)
+    ]
+    res = recursion.leaf_layer_check(
+        8, types, commitments, execute, good, basic_vk_commitment=vk
+    )
+    assert all(bool(np.asarray(v).all()) for v in res.values())
+    # proofs with no VK (or the wrong one) are rejected
+    bare = [recursion.ProofSurrogate(commitments[i], True) for i in range(n)]
+    res2 = recursion.leaf_layer_check(
+        8, types, commitments, execute, bare, basic_vk_commitment=vk
+    )
+    assert not bool(np.asarray(res2["proof_vk"]).all())
+
+
+def test_interblock_invalid_slot_masking():
+    pis = [
+        gf.from_u64(np.array([1, 2, 3, 4], dtype=np.uint64)),
+        gf.from_u64(np.array([5, 6, 7, 8], dtype=np.uint64)),
+    ]
+    zero = gf.from_u64(np.zeros(4, dtype=np.uint64))
+    # an invalid slot contributes zero bytes: forging its payload is inert
+    h_masked = recursion.interblock_aggregate_keccak(pis, valid=[True, False])
+    h_zeroed = recursion.interblock_aggregate_keccak([pis[0], zero])
+    assert h_masked == h_zeroed
+    # ...but a VALID slot's payload matters
+    h_full = recursion.interblock_aggregate_keccak(pis)
+    assert h_full != h_masked

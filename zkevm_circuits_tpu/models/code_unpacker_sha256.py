@@ -85,10 +85,12 @@ def make_request(code_words: list, page: int, timestamp: int) -> dict:
 
 
 def generate_witness(
-    requests: list, code_store: dict, config: CodeUnpackerConfig
+    requests: list, code_store: dict, config: CodeUnpackerConfig,
+    mem_init_state=None,
 ) -> CodeUnpackerWitness:
     """requests: DecommitQuery dicts (see make_request).
-    code_store: {code_hash_int: [word_int, ...]}."""
+    code_store: {code_hash_int: [word_int, ...]}.
+    mem_init_state threads the global memory queue (scheduler mod.rs:284-349)."""
     Q = max(len(requests), 1)
     N = config.max_rounds
 
@@ -161,7 +163,9 @@ def generate_witness(
             wr_rows.append(dict(pad_row))
     writes_q = MemoryQueries.from_lists(wr_rows)
     mem_enc = encode_memory_queries(writes_q)
-    mem_chain = queues.simulate_chain(gf.zeros((12,)), mem_enc, jnp.asarray(wr_exec))
+    init12 = gf.zeros((12,)) if mem_init_state is None else gf.from_u64(
+        np.asarray(mem_init_state, dtype=np.uint64))
+    mem_chain = queues.simulate_chain(init12, mem_enc, jnp.asarray(wr_exec))
 
     req_pad = list(requests) + [dict(code_hash=0, page=0, timestamp=0, is_first=False)] * (
         Q - len(requests)
@@ -316,9 +320,12 @@ def instance_compact_form(w: CodeUnpackerWitness, config: CodeUnpackerConfig):
         _gf.zeros((12,)), w.request_chain[Q], w.num_requests
     )
     n_mem = w.write_execute.sum().astype(jnp.uint32)
+    mem_initial = protocol.encode_queue_state_generic(
+        _gf.zeros((12,)), w.mem_chain[0], jnp.uint32(0)
+    )
     mem_final = protocol.encode_queue_state_generic(
         _gf.zeros((12,)), w.mem_chain[w.mem_chain.shape[0] - 1], n_mem
     )
-    obs_in = req_qs[None]
+    obs_in = _gf.concat([req_qs, mem_initial], axis=-1)[None]
     obs_out = mem_final[None]
     return protocol.single_instance_compact_form(obs_in, obs_out)

@@ -207,7 +207,8 @@ def _analyze_call(h, v, r, s):
     return out
 
 
-def generate_witness(calls: list, memory: dict, config: EcrecoverConfig) -> EcrecoverWitness:
+def generate_witness(calls: list, memory: dict, config: EcrecoverConfig,
+                     mem_init_state=None) -> EcrecoverWitness:
     """calls: LogQuery dicts (key = ABI: [0]=in word off, [2]=out word off,
     [4]=in page, [5]=out page).  memory[(page, word)] = 32-byte value.
     Input layout at in_off: [digest, v, r, s]."""
@@ -432,7 +433,9 @@ def generate_witness(calls: list, memory: dict, config: EcrecoverConfig) -> Ecre
     mem_q = MemoryQueries.from_lists(order + [pad_mq] * (6 * C - len(order)))
     mem_exec = np.arange(6 * C) < len(order)
     mem_enc = encode_memory_queries(mem_q)
-    mem_chain = queues.simulate_chain(gf.zeros((12,)), mem_enc, jnp.asarray(mem_exec))
+    init12 = gf.zeros((12,)) if mem_init_state is None else gf.from_u64(
+        np.asarray(mem_init_state, dtype=np.uint64))
+    mem_chain = queues.simulate_chain(init12, mem_enc, jnp.asarray(mem_exec))
 
     call_pad = list(calls) + [
         dict(address=0, key=0, read_value=0, written_value=0, aux_byte=0,
@@ -950,9 +953,12 @@ def instance_compact_form(w: EcrecoverWitness, config: EcrecoverConfig):
         gf.zeros((4,)), w.call_chain[C], w.num_calls
     )
     n_mem = (w.call_execute.sum() * 6).astype(jnp.uint32)
+    mem_initial = protocol.encode_queue_state_generic(
+        gf.zeros((12,)), w.mem_chain[0], jnp.uint32(0)
+    )
     mem_final = protocol.encode_queue_state_generic(
         gf.zeros((12,)), w.mem_chain[w.mem_chain.shape[0] - 1], n_mem
     )
-    obs_in = calls_qs[None]
+    obs_in = gf.concat([calls_qs, mem_initial], axis=-1)[None]
     obs_out = mem_final[None]
     return protocol.single_instance_compact_form(obs_in, obs_out)

@@ -125,9 +125,14 @@ def generate_witness(
     calls: list,
     memory: dict,
     config: KeccakRoundFunctionConfig,
+    mem_init_state=None,
 ) -> KeccakRoundWitness:
     """calls: list of dicts (LogQuery fields; key encodes the ABI).
-    memory: {(page, word_index): 32-byte bytes object} backing store."""
+    memory: {(page, word_index): 32-byte bytes object} backing store.
+    mem_init_state: optional (12,) initial memory-queue sponge state — the
+    scheduler's memory-queue THREADING (ref scheduler/mod.rs:284-349): this
+    circuit continues the global memory queue where its predecessor left
+    off; the compact form's mem_initial exposes it (mem_chain[0])."""
     C = len(calls)
     B, R = config.max_blocks, config.max_reads
 
@@ -237,7 +242,9 @@ def generate_witness(
     mem_q = mq_from_rows(order_rows, R + max(C, 1))
     mem_exec = np.arange(R + max(C, 1)) < len(order_rows)
     mem_enc = encode_memory_queries(mem_q)
-    mem_chain = queues.simulate_chain(gf.zeros((12,)), mem_enc, jnp.asarray(mem_exec))
+    init12 = gf.zeros((12,)) if mem_init_state is None else gf.from_u64(
+        np.asarray(mem_init_state, dtype=np.uint64))
+    mem_chain = queues.simulate_chain(init12, mem_enc, jnp.asarray(mem_exec))
 
     # calls queue
     call_pad = calls + [

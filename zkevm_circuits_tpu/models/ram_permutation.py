@@ -140,8 +140,6 @@ def _finish_stage(
     unsorted: MemoryQueries,
     sorted_q: MemoryQueries,
     execute: jnp.ndarray,
-    enc_u: GF,
-    enc_s: GF,
     chain_u: GF,
     chain_s: GF,
     n: jnp.ndarray,
@@ -149,6 +147,10 @@ def _finish_stage(
     heap_page: jnp.ndarray,
 ) -> RamPermutationWitness:
     total = execute.shape[0]
+    # encodings re-derived ON DEVICE from the tape columns — the host never
+    # uploads them (they are 2x the tape volume; the tunnel is the bottleneck)
+    enc_u = encode_memory_queries(unsorted)
+    enc_s = encode_memory_queries(sorted_q)
     tail_u = chain_u[chain_u.shape[0] - 1]
     tail_s = chain_s[chain_s.shape[0] - 1]
     state_u = QueueState(gf.zeros((12,)), tail_u, n)
@@ -234,8 +236,6 @@ def generate_witness(
         unsorted,
         sorted_q,
         execute,
-        enc_u,
-        enc_s,
         chain_u,
         chain_s,
         n_arr,
@@ -280,6 +280,22 @@ def generate_witness_host_tapes(
 
     tu, ts_ = pad(tapes_unsorted), pad(tapes_sorted)
     execute_np = np.arange(total, dtype=np.uint32) < np.uint32(n)
+
+    # start the tape uploads FIRST — jnp.asarray dispatches async, so the
+    # host->device transfer streams while the host computes the sponge chains
+    def mq(t):
+        return MemoryQueries(
+            jnp.asarray(t["timestamp"].astype(np.uint32)),
+            jnp.asarray(t["memory_page"].astype(np.uint32)),
+            jnp.asarray(t["index"].astype(np.uint32)),
+            jnp.asarray(t["rw_flag"].astype(bool)),
+            jnp.asarray(t["is_ptr"].astype(bool)),
+            jnp.asarray(t["value"].astype(np.uint32)),
+        )
+
+    mq_u, mq_s = mq(tu), mq(ts_)
+    execute_dev = jnp.asarray(execute_np)
+
     enc = np.stack(
         [
             encode_memory_queries_np(**tu),
@@ -298,22 +314,10 @@ def generate_witness_host_tapes(
             enc, np.stack([execute_np, execute_np]).astype(np.uint8), np.zeros((2, 12), np.uint64)
         )  # (2, total+1, 12)
 
-    def mq(t):
-        return MemoryQueries(
-            jnp.asarray(t["timestamp"].astype(np.uint32)),
-            jnp.asarray(t["memory_page"].astype(np.uint32)),
-            jnp.asarray(t["index"].astype(np.uint32)),
-            jnp.asarray(t["rw_flag"].astype(bool)),
-            jnp.asarray(t["is_ptr"].astype(bool)),
-            jnp.asarray(t["value"].astype(np.uint32)),
-        )
-
     w = _finish_stage(
-        mq(tu),
-        mq(ts_),
-        jnp.asarray(execute_np),
-        gf.from_u64(enc[0]),
-        gf.from_u64(enc[1]),
+        mq_u,
+        mq_s,
+        execute_dev,
         gf.from_u64(chains[0]),
         gf.from_u64(chains[1]),
         jnp.uint32(n),

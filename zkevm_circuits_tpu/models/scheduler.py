@@ -135,10 +135,22 @@ def run_scheduler(
     block_data: BlockPassthroughData,
     block_meta: BlockMetaParameters,
     aux_output: BlockAuxilaryOutput,
+    derived_observable_inputs: Optional[Dict[int, GF]] = None,
+    required_types: Optional[set] = None,
 ) -> SchedulerResult:
     """Orchestrate one block: enforce the instance protocol per circuit type,
     fill the per-type recursion queues, check node proofs, produce the block
-    commitment."""
+    commitment.
+
+    `derived_observable_inputs` is the cross-circuit input-derivation glue
+    (ref mod.rs:239-568): for each type, the scheduler's OWN assembly of
+    that circuit's observable input from its predecessors' outputs (queue
+    tails, threaded memory states, per-block data).  Its commitment must
+    equal the observable-input commitment every instance of that type
+    committed to — so a circuit cannot run on data that was not produced by
+    its upstream producer.  `required_types` is the skip-invariant set (ref
+    mod.rs:575-789): a type whose derived input shows nonempty work cannot
+    be skipped."""
     checks: Dict[str, bool] = {}
     # zkporter forbidden (ref mod.rs:139-150)
     checks["zkporter_disabled"] = not block_meta.zkporter_is_available
@@ -149,7 +161,8 @@ def run_scheduler(
         cf = compact_forms_by_type.get(ctype)
         if cf is None or int(np.asarray(cf.start_flag).shape[0]) == 0:
             queue_states[ctype] = queues.empty_queue_state(12)
-            checks[f"{name}_skipped"] = True
+            # empty-input => skip is legal; nonempty derived input => error
+            checks[f"{name}_skipped"] = ctype not in (required_types or set())
             continue
         k = int(np.asarray(cf.start_flag).shape[0])
         chain = protocol.check_instance_chaining(
@@ -165,6 +178,11 @@ def run_scheduler(
         checks[f"{name}_finished"] = bool(np.asarray(cf.completion_flag)[-1])
         obs = cf.observable_input_commitment.astype_u64()
         checks[f"{name}_observable_input_consistent"] = bool((obs == obs[0]).all())
+        if derived_observable_inputs and ctype in derived_observable_inputs:
+            expected = protocol.commit_encoding(
+                derived_observable_inputs[ctype]
+            ).astype_u64()
+            checks[f"{name}_input_derivation"] = bool((obs == expected).all())
 
         commitments = cf.commitment()  # (k, 4)
         ctype_col = gf.full((k,), ctype)
@@ -188,7 +206,24 @@ def run_scheduler(
         expected = node_input_commitment(
             ctype, leaf_params_by_type[ctype], node_vk_commitment, qs
         )
-        checks[f"{name}_node_proof"] = bool(
+        # the node proof must verify under THE node VK (ref mod.rs:1026-1076);
+        # a proof carrying no VK commitment fails
+        if proof.vk_commitment is None:
+            vk_ok = False
+        else:
+            vk_ok = bool(
+                np.asarray(
+                    jnp.all(
+                        gf.equal(
+                            proof.vk_commitment,
+                            gf.from_u64(
+                                np.array(node_vk_commitment, dtype=np.uint64)
+                            ),
+                        )
+                    )
+                )
+            )
+        checks[f"{name}_node_proof"] = vk_ok and bool(
             np.asarray(
                 jnp.all(gf.equal(proof.public_input, expected)) & proof.is_valid
             )

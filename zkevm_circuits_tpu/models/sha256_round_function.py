@@ -91,9 +91,11 @@ def _digest_value_limbs(state_words) -> list:
 
 
 def generate_witness(
-    calls: list, memory: dict, config: Sha256RoundFunctionConfig
+    calls: list, memory: dict, config: Sha256RoundFunctionConfig,
+    mem_init_state=None,
 ) -> Sha256RoundWitness:
-    """memory: {(page, word_index): 32 bytes} — input must be pre-padded."""
+    """memory: {(page, word_index): 32 bytes} — input must be pre-padded.
+    mem_init_state threads the global memory queue (scheduler mod.rs:284-349)."""
     C = max(len(calls), 1)
     N = config.max_rounds
 
@@ -169,7 +171,9 @@ def generate_witness(
     mem_q = mq(order_rows, R + C)
     mem_exec = np.arange(R + C) < len(order_rows)
     mem_enc = encode_memory_queries(mem_q)
-    mem_chain = queues.simulate_chain(gf.zeros((12,)), mem_enc, jnp.asarray(mem_exec))
+    init12 = gf.zeros((12,)) if mem_init_state is None else gf.from_u64(
+        np.asarray(mem_init_state, dtype=np.uint64))
+    mem_chain = queues.simulate_chain(init12, mem_enc, jnp.asarray(mem_exec))
 
     call_pad = list(calls) + [
         dict(address=0, key=0, read_value=0, written_value=0, aux_byte=0,

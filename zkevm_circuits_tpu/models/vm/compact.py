@@ -100,7 +100,9 @@ def _queue_state_enc(state12: gf.GF, length) -> gf.GF:
 
 
 def observable_input_encoding(dw: dict) -> gf.GF:
-    """VmInputData analog (ref input.rs:33-47), shape (1, L)."""
+    """VmInputData analog (ref input.rs:33-47), shape (1, L): per-block
+    context + the block rollback tail + the memory-queue INITIAL state (the
+    ts=0 bootloader-heap pushes the scheduler made before handing over)."""
     aa = dw["default_aa_code_hash"].reshape(1, 8)
     lanes = [gf.from_u32(dw["zkporter_available"].astype(U32C).reshape(1))]
     for k in range(8):
@@ -108,6 +110,14 @@ def observable_input_encoding(dw: dict) -> gf.GF:
     rb = dw["block_rollback_tail"].reshape(1, 4)
     for k in range(4):
         lanes.append(rb[:, k])
+    mem0 = dw["mem_q_state"][jnp.asarray([0])]
+    for k in range(12):
+        lanes.append(mem0[..., k])
+    lanes.append(gf.from_u32(dw["mem_q_len"][jnp.asarray([0])]))
+    dec0 = dw["dec_q_state"][jnp.asarray([0])]
+    for k in range(12):
+        lanes.append(dec0[..., k])
+    lanes.append(gf.from_u32(dw["dec_q_len"][jnp.asarray([0])]))
     return gf.stack(lanes, axis=-1)
 
 
@@ -174,7 +184,7 @@ def boot_and_exit_residuals(dw: dict) -> dict:
         ("ts", sp.STARTING_TIMESTAMP), ("page_counter", sp.STARTING_BASE_PAGE),
         ("tx_number", 0), ("prev_code_page", 0), ("prev_super_pc", 0),
         ("pending_exc", 0), ("ergs_pp", 0), ("cs_depth", 1),
-        ("mem_q_len", 0), ("dec_q_len", 0), ("log_fwd_len", 0),
+        ("log_fwd_len", 0),
         ("ctx_rq_len", 0),
         ("ctx_code_page", sp.BOOTLOADER_CODE_PAGE),
         ("ctx_base_page", sp.BOOTLOADER_BASE_PAGE),
@@ -205,12 +215,11 @@ def boot_and_exit_residuals(dw: dict) -> dict:
         dw["ctx_code_address"][0] == boot_addr
     ).all()
 
-    # --- queue states start empty; rollback head == tail == block tail ---
-    res["boot_queues"] = (
-        gf.is_zero(dw["mem_q_state"][r0]).all()
-        & gf.is_zero(dw["dec_q_state"][r0]).all()
-        & gf.is_zero(dw["log_fwd_tail"][r0]).all()
-    )
+    # --- the log queue starts empty; the memory/decommit queues' initial
+    # states are NOT pinned to zero — they are bound into the observable
+    # input, where the scheduler derives them from its own ts=0 heap pushes
+    # and the bootloader decommit push (scheduler mod.rs:152-172) ---
+    res["boot_queues"] = gf.is_zero(dw["log_fwd_tail"][r0]).all()
     rb = dw["block_rollback_tail"].reshape(1, 4)
     res["boot_rollback_chain"] = (
         gf.equal(dw["ctx_rq_head"][r0], rb).all()

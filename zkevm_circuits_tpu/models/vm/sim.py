@@ -101,6 +101,7 @@ class EraVM:
         storage=None,
         code_store=None,
         calldata=None,
+        bootloader_heap=None,
         default_aa_code_hash: int = 0,
         zkporter_available: bool = False,
     ):
@@ -113,6 +114,13 @@ class EraVM:
         if calldata:
             self.memory[sp.BOOTLOADER_CALLDATA_PAGE] = {
                 i: (v, False) for i, v in enumerate(calldata)
+            }
+        # nondeterministic initial bootloader heap content (the ram_permutation
+        # timestamp-0 write convention, ref ram mod.rs:259-290)
+        self.bootloader_heap_init = dict(bootloader_heap or {})
+        if self.bootloader_heap_init:
+            self.memory[sp.BOOTLOADER_BASE_PAGE + 2] = {
+                i: (v & U256, False) for i, v in self.bootloader_heap_init.items()
             }
         self.storage = dict(storage or {})
         self.code_store = dict(code_store or {})
@@ -157,9 +165,57 @@ class EraVM:
         self.memory_tape = []
         self.decommit_tape = []
         self.log_tape = []  # forward queue elements (incl. appended rollbacks)
+        # precompile-call side channel for the block driver: the host
+        # executes each call at log time (the zk_evm host role) and records
+        # the call + a {(page, word): bytes32} snapshot of every word the
+        # precompile circuit will read, so its generate_witness can replay.
+        self.precompile_calls = {"keccak": [], "sha256": [], "ecrecover": []}
+        self.precompile_memory = {}
 
         self._trace = []
         self._state_rows = []
+
+        # absorb the ts=0 bootloader-heap writes into the memory queue BEFORE
+        # cycle 0 — the VM's memory_queue_initial_state observable input (ref
+        # main_vm/input.rs + ram mod.rs:259-290); the rows live on a separate
+        # tape (the scheduler/harness pushes them, not the VM)
+        self.initial_mem_rows = []
+        if self.bootloader_heap_init:
+            from ...base_structures.memory_query import encode_memory_queries_np
+
+            hp = sp.BOOTLOADER_BASE_PAGE + 2
+            for i, val in sorted(self.bootloader_heap_init.items()):
+                row = dict(timestamp=0, memory_page=hp, index=i,
+                           rw_flag=True, is_ptr=False, value=val & U256)
+                self.initial_mem_rows.append(row)
+                enc = encode_memory_queries_np(
+                    np.array([0], np.uint32), np.array([hp], np.uint32),
+                    np.array([i], np.uint32), np.array([True], bool),
+                    np.array([False], bool),
+                    np.array([_limbs8(val)], np.uint32),
+                )[0]
+                self.mem_q_state = self._full_absorb(self.mem_q_state, enc)
+                self.mem_q_len += 1
+
+        # boot decommittment push (scheduler mod.rs:152-172): the bootloader's
+        # own code decommit request enters the queue BEFORE cycle 0; the
+        # resulting state is the VM's decommittment_queue_initial_state
+        # observable input (ref main_vm/input.rs)
+        from ...base_structures.decommit_query import encode_decommit_query_ref
+        from ...ops.sha256 import sha256_ref
+
+        data = b"".join(int(x).to_bytes(32, "big") for x in code_words)
+        boot_hash = int.from_bytes(sha256_ref(data), "big") & ((1 << 224) - 1)
+        boot_hash |= ((sp.CODE_HASH_VERSION_BYTE << 8) << 16 | len(code_words)) << 224
+        self.boot_code_hash = boot_hash
+        boot_row = dict(
+            code_hash=boot_hash, page=sp.BOOTLOADER_CODE_PAGE,
+            is_first=True, timestamp=1,
+        )
+        self.initial_dec_rows = [boot_row]
+        enc = np.array(encode_decommit_query_ref(boot_row), np.uint64)
+        self.dec_q_state = self._full_absorb(self.dec_q_state, enc)
+        self.dec_q_len += 1
 
     # -------------------- primitives --------------------
 
@@ -824,11 +880,96 @@ class EraVM:
                 t["_rb_push_slot"] = slot
             if is_swrite:
                 self.storage[skey] = written_value
+            if is_precompile:
+                self._execute_precompile(dict(q))
 
         if is_sread:
             self._write_dst0(t, st, read_value, False)
         elif is_precompile:
             self._write_dst0(t, st, int(have_ergs), False)
+
+    # ---- precompile host execution (the zk_evm host role) ----
+
+    def _snapshot_word(self, page, index) -> bytes:
+        val, _ = self._mem_read(page, index)
+        word = int(val).to_bytes(32, "big")
+        self.precompile_memory[(page, index)] = word
+        return word
+
+    def _execute_precompile(self, q: dict):
+        """Execute keccak/sha256/ecrecover at call time; the memory traffic
+        belongs to the precompile circuit (its generate_witness re-derives
+        the exact read/write rows from `q` + `precompile_memory`), so only
+        the OUTPUT lands in VM memory — not on the VM memory tape.
+        ABI per models/{keccak256,sha256}_round_function.abi_from_key and
+        models/ecrecover.generate_witness (ref precompile input.rs)."""
+        addr = q["address"]
+        key = int(q["key"])
+        kl = [(key >> (32 * k)) & U32 for k in range(8)]
+        in_page, out_page = kl[4], kl[5]
+        if addr == sp.KECCAK256_PRECOMPILE_FORMAL_ADDRESS:
+            off, length, out_word = kl[0], kl[1], kl[2]
+            first_word = off // 32
+            last_word = (off + length - 1) // 32 if length else first_word
+            data = bytearray()
+            for wi in range(first_word, last_word + 1):
+                data += self._snapshot_word(in_page, wi)
+            payload = bytes(data[off % 32 : off % 32 + length])
+            from ...ops.keccak import keccak256_ref
+
+            digest = int.from_bytes(keccak256_ref(payload), "big")
+            self._mem_write(out_page, out_word, digest)
+            self.precompile_calls["keccak"].append(q)
+        elif addr == sp.SHA256_PRECOMPILE_FORMAL_ADDRESS:
+            in_off, out_off, nrounds = kl[0], kl[2], kl[6]
+            from ...ops import sha256 as sha_ops
+            from ..sha256_round_function import _digest_value_limbs
+
+            state = list(sha_ops.H0)
+            for r in range(nrounds):
+                blk = b""
+                for j in range(2):
+                    blk += self._snapshot_word(in_page, in_off + 2 * r + j)
+                block = [
+                    int.from_bytes(blk[4 * j : 4 * j + 4], "big") for j in range(16)
+                ]
+                state = sha_ops.compress_ref(state, block)
+            value = 0
+            for k, l in enumerate(_digest_value_limbs(state)):
+                value |= l << (32 * k)
+            self._mem_write(out_page, out_off, value)
+            self.precompile_calls["sha256"].append(q)
+        elif addr == sp.ECRECOVER_PRECOMPILE_FORMAL_ADDRESS:
+            in_off, out_off = kl[0], kl[2]
+            from ...ops import secp256k1 as ec
+            from ..ecrecover import _analyze_call
+
+            h, v, r, s = (
+                int.from_bytes(self._snapshot_word(in_page, in_off + j), "big")
+                for j in range(4)
+            )
+            # identical validity analysis to the circuit's witness oracle so
+            # the sim's output writes match the circuit's write rows exactly
+            a = _analyze_call(h, v, r, s)
+            Q = None
+            if a["ladder_on"]:
+                r_inv = pow(r % ec.N, ec.N - 2, ec.N)
+                u1, u2 = (-h * r_inv) % ec.N, (s * r_inv) % ec.N
+                acc1 = ec.mul(u1, (ec.GX, ec.GY)) if u1 else None
+                acc2 = ec.mul(u2, a["R"])
+                exc_inf = (
+                    acc1 is not None and acc1[0] == acc2[0]
+                    and (acc1[1] + acc2[1]) % ec.P == 0
+                )
+                if not exc_inf:
+                    Q = acc2 if acc1 is None else ec.add(acc1, acc2)
+            if Q is not None:
+                self._mem_write(out_page, out_off, 1)
+                self._mem_write(out_page, out_off + 1, ec.eth_address(Q))
+            else:
+                self._mem_write(out_page, out_off, 0)
+                self._mem_write(out_page, out_off + 1, 0)
+            self.precompile_calls["ecrecover"].append(q)
 
     # ---- near_call ----
 

@@ -1,0 +1,632 @@
+"""Block driver v2 — the full 13-circuit block on the real-ISA EraVM.
+
+The era-zkevm_test_harness role over models/vm: run a bootloader program,
+extract every tape, drive ALL consumer circuit types, check the
+producer->consumer queue handoffs, and orchestrate the scheduler.
+
+Dataflow (ref `src/scheduler/mod.rs:239-452`):
+
+    VM(1) --decommit tape--> sorter(2) --unique--> code_unpacker(3)
+    VM(1) --log tape-------> demux(4) --> keccak(5) sha256(6) ecrecover(7)
+                                      --> storage sorter(9) --> application(10)
+                                      --> events sorter(11)
+                                      --> l1 sorter(12) --> linear hasher(13)
+    memory queue threading (mod.rs:284-349):
+        unpacker writes ++ VM memory tape ++ precompile reads/writes
+        --> ram_permutation(8)
+
+The bootloader's own code decommittment is pushed by the driver (the
+scheduler's initial push, ref mod.rs:152-172) so instruction fetches are
+RAM-consistent with the unpacker's writes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..base_structures.decommit_query import DecommitQueries
+from ..base_structures.log_query import LogQueries
+from ..base_structures.memory_query import MemoryQueries
+from ..isa import system_params as sp
+from ..models import (
+    code_unpacker_sha256 as cu,
+    demux_log_queue as dm,
+    ecrecover as ecr,
+    keccak256_round_function as kc,
+    linear_hasher as lh,
+    log_sorter as ls,
+    ram_permutation as ram,
+    sha256_round_function as sh,
+    sort_decommittment_requests as sd,
+    storage_application as sa,
+    storage_validity as sv,
+    recursion,
+    scheduler,
+)
+from ..models import vm as vm2
+from ..ops import gf, queues
+
+
+@dataclasses.dataclass(frozen=True)
+class Block2Config:
+    vm_limit: int = 64
+    vm_instance_limit: Optional[int] = None  # default: one instance
+    sorter_limit: int = 32
+    hasher_limit: int = 8
+    unpacker_rounds: int = 32
+    keccak_blocks: int = 8
+    keccak_reads: int = 16
+    sha_rounds: int = 8
+    ec_calls: int = 1
+    storage_rows: int = 16
+    ram_limit: int = 128
+    run_scheduler: bool = True
+
+
+@dataclasses.dataclass
+class Block2Result:
+    residuals: Dict[str, dict]
+    compact_forms: Dict[int, object]
+    handoffs: Dict[str, bool]
+    scheduler_result: Optional[scheduler.SchedulerResult]
+    l1_messages_hash: Optional[bytes]
+    vm: object  # the EraVM (tapes, final state) for inspection
+
+    @property
+    def ok(self) -> bool:
+        for res in self.residuals.values():
+            for v in res.values():
+                if not bool(np.asarray(v).all()):
+                    return False
+        if not all(self.handoffs.values()):
+            return False
+        if self.scheduler_result is not None:
+            return scheduler.all_ok(self.scheduler_result)
+        return True
+
+    def failing(self):
+        out = []
+        for circuit, res in self.residuals.items():
+            for name, v in res.items():
+                if not bool(np.asarray(v).all()):
+                    out.append(f"{circuit}.{name}")
+        out += [f"handoff.{k}" for k, v in self.handoffs.items() if not v]
+        if self.scheduler_result is not None:
+            out += [
+                f"scheduler.{k}"
+                for k, v in self.scheduler_result.checks.items()
+                if not v
+            ]
+        return out
+
+
+def _soa_rows(soa, mask, int_fields=(), limb_fields=(), bool_fields=()):
+    mask = np.asarray(mask)
+    rows = []
+    for i in range(len(mask)):
+        if not mask[i]:
+            continue
+        row = {}
+        for f in int_fields:
+            row[f] = int(np.asarray(getattr(soa, f))[i])
+        for f in limb_fields:
+            limbs = np.asarray(getattr(soa, f))[i]
+            row[f] = sum(int(l) << (32 * k) for k, l in enumerate(limbs))
+        for f in bool_fields:
+            row[f] = bool(np.asarray(getattr(soa, f))[i])
+        rows.append(row)
+    return rows
+
+
+_MEM_FIELDS = dict(
+    int_fields=("timestamp", "memory_page", "index"),
+    limb_fields=("value",),
+    bool_fields=("rw_flag", "is_ptr"),
+)
+
+
+def _tails_equal(a: queues.QueueState, b: queues.QueueState) -> bool:
+    return bool(np.asarray(queues.queue_states_equal(a, b)))
+
+
+def execute_block2(
+    code: list,
+    config: Block2Config = Block2Config(),
+    *,
+    storage=None,
+    code_store=None,
+    calldata=None,
+    bootloader_heap=None,
+    registers=None,
+    default_aa_code_hash: int = 0,
+) -> Block2Result:
+    residuals: Dict[str, dict] = {}
+    forms: Dict[int, object] = {}
+    handoffs: Dict[str, bool] = {}
+
+    # bootloader bytecode word-count must be odd (Era convention; the
+    # versioned hash encodes it) — pad with a zero word
+    code_words = list(code)
+    if len(code_words) % 2 == 0:
+        code_words.append(0)
+
+    # ---------------- type 1: the VM ----------------
+    v = vm2.EraVM(
+        code_words,
+        config.vm_limit,
+        storage=storage,
+        code_store=code_store,
+        calldata=calldata,
+        bootloader_heap=bootloader_heap,
+        default_aa_code_hash=default_aa_code_hash,
+    )
+    for idx, val in (registers or {}).items():
+        ptr = False
+        if isinstance(val, tuple):
+            val, ptr = val
+        v.registers[idx - 1] = [val, ptr]
+    w = v.run()
+    dw = vm2.prepare_device_witness(w)
+    residuals["main_vm"] = vm2.eval_constraints_jit(dw, config.vm_limit)
+    inst = config.vm_instance_limit or config.vm_limit
+    forms[1], vm_proto = vm2.vm_instance_compact_forms(dw, inst)
+    residuals["main_vm_protocol"] = vm_proto
+
+    # ---------------- types 2+3: decommit sorter + code unpacker ----------
+    # the bootloader decommit was pushed by the sim before cycle 0
+    # (scheduler mod.rs:152-172); the sorter consumes boot push + VM tape
+    dec_rows = [dict(r) for r in v.initial_dec_rows] + [
+        dict(r) for r in v.decommit_tape
+    ]
+    sorted_dec = sorted(dec_rows, key=lambda r: (r["code_hash"], r["timestamp"]))
+    ccfg = sd.DecommitSorterConfig(limit=config.sorter_limit)
+    cw = sd.generate_witness_jit(
+        DecommitQueries.from_lists(dec_rows),
+        DecommitQueries.from_lists(sorted_dec),
+        ccfg,
+    )
+    residuals["sort_decommittments"] = sd.eval_constraints_jit(cw, ccfg)
+    forms[2] = sd.instance_compact_forms(cw, ccfg)
+
+    # memory-queue threading (ref scheduler/mod.rs:284-349): the global
+    # memory sponge runs heap-init -> VM -> decommitter -> keccak -> sha256
+    # -> ecrecover; each circuit continues where its predecessor stopped and
+    # exposes both boundary states in its compact form.
+    vm_final_mem = np.asarray(w["mem_q_state"][-1], np.uint64)
+
+    # the unpacker consumes the sorter's deduplicated RESULT queue verbatim
+    # (canonicalized is_first/timestamp) so the request chains glue
+    uniq = _soa_rows(
+        cw.result_items, cw.result_add,
+        int_fields=("page", "timestamp"), limb_fields=("code_hash",),
+        bool_fields=("is_first",),
+    )
+    full_store = dict(code_store or {})
+    full_store[v.boot_code_hash] = code_words
+    ucfg = cu.CodeUnpackerConfig(max_rounds=config.unpacker_rounds)
+    uw = cu.generate_witness(uniq, full_store, ucfg, mem_init_state=vm_final_mem)
+    residuals["code_unpacker"] = cu.eval_constraints_jit(uw, ucfg)
+    forms[3] = cu.instance_compact_form(uw, ucfg)
+    unpack_rows = _soa_rows(uw.writes, uw.write_execute, **_MEM_FIELDS)
+    thread_state = np.asarray(uw.mem_chain[-1].astype_u64(), np.uint64)
+
+    # ---------------- type 4: demux ----------------
+    log_rows = [dict(q) for q in v.log_tape]
+    dcfg = dm.DemuxConfig(limit=config.sorter_limit)
+    dmw = dm.generate_witness_jit(LogQueries.from_lists(log_rows), dcfg)
+    residuals["demux_log_queue"] = dm.eval_constraints_jit(dmw, dcfg)
+    forms[4] = dm.instance_compact_form(dmw, dcfg)
+    out_states = dm.output_queue_states(dmw)
+
+    # ---------------- types 5/6/7: precompiles ----------------
+    pre_mem = dict(v.precompile_memory)
+    pre_rows = []
+
+    kcalls = v.precompile_calls["keccak"]
+    if kcalls:
+        kcfg = kc.KeccakRoundFunctionConfig(
+            max_blocks=config.keccak_blocks, max_reads=config.keccak_reads
+        )
+        kc_init = thread_state
+        kw = kc.generate_witness(kcalls, pre_mem, kcfg, mem_init_state=thread_state)
+        residuals["keccak256"] = kc.eval_constraints_jit(kw, kcfg)
+        forms[5] = kc.instance_compact_form(kw, kcfg)
+        pre_rows += _soa_rows(kw.reads, kw.read_execute, **_MEM_FIELDS)
+        pre_rows += _soa_rows(
+            kw.writes, np.arange(np.asarray(kw.writes.timestamp).shape[0])
+            < len(kcalls), **_MEM_FIELDS,
+        )
+        thread_state = np.asarray(kw.mem_chain[-1].astype_u64(), np.uint64)
+
+    scalls = v.precompile_calls["sha256"]
+    if scalls:
+        scfg_p = sh.Sha256RoundFunctionConfig(max_rounds=config.sha_rounds)
+        sh_init = thread_state
+        shw = sh.generate_witness(scalls, pre_mem, scfg_p, mem_init_state=thread_state)
+        residuals["sha256"] = sh.eval_constraints_jit(shw, scfg_p)
+        forms[6] = sh.instance_compact_form(shw, scfg_p)
+        pre_rows += _soa_rows(shw.reads, shw.read_execute, **_MEM_FIELDS)
+        pre_rows += _soa_rows(
+            shw.writes, np.arange(np.asarray(shw.writes.timestamp).shape[0])
+            < len(scalls), **_MEM_FIELDS,
+        )
+        thread_state = np.asarray(shw.mem_chain[-1].astype_u64(), np.uint64)
+
+    ecalls = v.precompile_calls["ecrecover"]
+    if ecalls:
+        eccfg = ecr.EcrecoverConfig(max_calls=max(config.ec_calls, len(ecalls)))
+        ec_init = thread_state
+        ew = ecr.generate_witness(ecalls, pre_mem, eccfg, mem_init_state=thread_state)
+        residuals["ecrecover"] = ecr.eval_constraints_jit(ew, eccfg)
+        forms[7] = ecr.instance_compact_form(ew, eccfg)
+        n_ec = len(ecalls)
+        reads_n = np.asarray(ew.reads.timestamp).shape[0]
+        writes_n = np.asarray(ew.writes.timestamp).shape[0]
+        pre_rows += _soa_rows(ew.reads, np.arange(reads_n) < 4 * n_ec, **_MEM_FIELDS)
+        pre_rows += _soa_rows(ew.writes, np.arange(writes_n) < 2 * n_ec, **_MEM_FIELDS)
+        thread_state = np.asarray(ew.mem_chain[-1].astype_u64(), np.uint64)
+
+    # ---------------- type 8: ram permutation over the union --------------
+    # the unsorted queue is the THREADED global queue: ts=0 heap-init rows,
+    # the VM tape, then each circuit's traffic in thread order — so its tail
+    # must equal the last threaded circuit's final memory state (checked as
+    # a handoff below)
+    mem_rows = (
+        [dict(r) for r in v.initial_mem_rows]
+        + [dict(r) for r in v.memory_tape]
+        + unpack_rows
+        + pre_rows
+    )
+    sorted_mem = sorted(
+        mem_rows, key=lambda r: (r["memory_page"], r["index"], r["timestamp"])
+    )
+    rcfg = ram.RamPermutationConfig(limit=config.ram_limit)
+    rw_ = ram.generate_witness(
+        MemoryQueries.from_lists(mem_rows),
+        MemoryQueries.from_lists(sorted_mem),
+        rcfg,
+    )
+    residuals["ram_permutation"] = ram.eval_constraints_jit(rw_, rcfg)
+    forms[8] = ram.instance_compact_forms(rw_, rcfg)
+    n_mem_total = len(mem_rows)
+    ram_unsorted_tail = np.asarray(
+        rw_.chain_unsorted[n_mem_total].astype_u64(), np.uint64
+    )
+    handoffs["memory_thread_closes"] = bool(
+        (ram_unsorted_tail == thread_state).all()
+    )
+
+    # ---------------- type 9: storage sorter ----------------
+    l1_hash = None
+    storages = [r for r in log_rows if r["aux_byte"] == sp.STORAGE_AUX_BYTE]
+    if storages:
+        order = sorted(
+            range(len(storages)),
+            key=lambda i: (storages[i]["address"], storages[i]["key"], i),
+        )
+        vcfg = sv.StorageValidityConfig(limit=config.sorter_limit)
+        svw = sv.generate_witness_jit(
+            LogQueries.from_lists(storages),
+            LogQueries.from_lists([storages[i] for i in order]),
+            jnp.asarray(order, jnp.uint32),
+            vcfg,
+        )
+        residuals["storage_validity"] = sv.eval_constraints_jit(svw, vcfg)
+        forms[9] = sv.instance_compact_forms(svw, vcfg)
+        sv_in = queues.QueueState(
+            gf.zeros((4,)), svw.chain_unsorted[svw.execute.shape[0]], svw.n
+        )
+        handoffs["demux_to_storage_sorter"] = _tails_equal(
+            sv_in, out_states["rollup_storage"]
+        )
+
+        # ---------------- type 10: storage application ----------------
+        surv = np.asarray(svw.push_flags)
+        apply_rows = _soa_rows(
+            svw.push_items, surv,
+            int_fields=("aux_byte", "shard_id", "tx_number_in_block", "timestamp"),
+            limb_fields=("address", "key", "read_value", "written_value"),
+            bool_fields=("rw_flag", "rollback", "is_service"),
+        )
+        # the tree carries the PRIOR block's state: seed it with the initial
+        # storage snapshot (rollup shard) before applying this block's diffs
+        tree = sa.SparseStorageTree()
+        counter = 1
+        for (shard, addr, key), val in sorted((storage or {}).items()):
+            if shard != 0 or val == 0:
+                continue
+            dk = sa.derive_key_ref(addr, key)
+            tree.set_leaf(sa.path_bits(dk), counter, val)
+            counter += 1
+        acfg = sa.StorageApplicationConfig(max_rows=config.storage_rows)
+        initial_root = tree.root()
+        initial_counter_val = counter
+        aw = sa.generate_witness(
+            apply_rows, tree, initial_counter=counter, config=acfg
+        )
+        residuals["storage_application"] = sa.eval_constraints_jit(aw, acfg)
+        forms[10] = sa.instance_compact_form(aw, acfg)
+
+    # ---------------- types 11/12/13 ----------------
+    sorter_w = {}
+    scfg = ls.LogSorterConfig(limit=config.sorter_limit)
+    for ctype, aux, qname in (
+        (11, sp.EVENT_AUX_BYTE, "events"),
+        (12, sp.L1_MESSAGE_AUX_BYTE, "l1_messages"),
+    ):
+        rows = [r for r in log_rows if r["aux_byte"] == aux]
+        if not rows:
+            continue
+        # sorted by (timestamp, rollback): forward entry precedes its rollback
+        srt = sorted(rows, key=lambda r: (r["timestamp"], bool(r["rollback"])))
+        sw = ls.generate_witness_jit(
+            LogQueries.from_lists(rows), LogQueries.from_lists(srt), scfg
+        )
+        sorter_w[ctype] = sw
+        residuals[f"log_sorter_{ctype}"] = ls.eval_constraints_jit(sw, scfg)
+        forms[ctype] = ls.instance_compact_forms(sw, scfg)
+        s_in = queues.QueueState(
+            gf.zeros((4,)), sw.chain_unsorted[sw.execute.shape[0]], sw.n
+        )
+        handoffs[f"demux_to_sorter_{ctype}"] = _tails_equal(s_in, out_states[qname])
+
+        if ctype == 12:
+            adds = np.asarray(sw.result_add)
+            survivors = _soa_rows(
+                sw.result_items, adds,
+                int_fields=("aux_byte", "shard_id", "tx_number_in_block", "timestamp"),
+                limb_fields=("address", "key", "read_value", "written_value"),
+                bool_fields=("rw_flag", "rollback", "is_service"),
+            )
+            hcfg = lh.LinearHasherConfig(limit=config.hasher_limit)
+            hw = lh.generate_witness_jit(LogQueries.from_lists(survivors), hcfg)
+            residuals["linear_hasher"] = lh.eval_constraints_jit(hw, hcfg)
+            forms[13] = lh.instance_compact_form(hw, hcfg)
+            l1_hash = bytes(int(b) for b in np.asarray(hw.digest))
+
+    # ------- scheduler input-derivation (ref scheduler/mod.rs:239-568) -----
+    # the scheduler's OWN assembly of every circuit's observable input from
+    # predecessor outputs; run_scheduler commits each and requires equality
+    # with the per-instance observable-input commitments.
+    from ..utils import protocol as proto
+    from . import native
+
+    def _gf12(u64_state):
+        return gf.from_u64(np.asarray(u64_state, np.uint64))
+
+    def _qs_enc(head_width, tail, length):
+        return proto.encode_queue_state_generic(
+            gf.zeros((head_width,)), tail, jnp.uint32(int(length))
+        )
+
+    # recompute the VM's initial mem/dec queue states from the driver's own
+    # pushes (NOT from the VM witness — that is the point)
+    from ..base_structures.memory_query import encode_memory_queries_np
+    from ..base_structures.decommit_query import encode_decommit_query_ref
+
+    st12 = np.zeros(12, np.uint64)
+    hp = sp.BOOTLOADER_BASE_PAGE + 2
+    for i, val in sorted((bootloader_heap or {}).items()):
+        e = encode_memory_queries_np(
+            np.array([0], np.uint32), np.array([hp], np.uint32),
+            np.array([i], np.uint32), np.array([True], bool),
+            np.array([False], bool),
+            np.array([[(val >> (32 * k)) & 0xFFFFFFFF for k in range(8)]],
+                     np.uint32),
+        )[0]
+        st12 = st12.copy(); st12[:8] = e
+        st12 = native.poseidon2_permute(st12)
+    mem0_state, mem0_len = st12, len(bootloader_heap or {})
+    st12 = np.zeros(12, np.uint64)
+    st12[:8] = np.array(
+        encode_decommit_query_ref(dict(
+            code_hash=v.boot_code_hash, page=sp.BOOTLOADER_CODE_PAGE,
+            is_first=True, timestamp=1,
+        )), np.uint64,
+    )[:8]
+    # encode_decommit_query_ref gives the 8-element packed encoding
+    dec0_state = native.poseidon2_permute(st12)
+    dec0_len = 1
+
+    derived: Dict[int, object] = {}
+    aa_limbs = jnp.asarray(
+        [(default_aa_code_hash >> (32 * k)) & 0xFFFFFFFF for k in range(8)],
+        jnp.uint32,
+    )
+    vm_lanes = [gf.from_u32(jnp.zeros((1,), jnp.uint32))]  # zkporter off
+    for k in range(8):
+        vm_lanes.append(gf.from_u32(aa_limbs[k].reshape(())[None]))
+    rb = gf.from_u64(np.asarray(v.block_rollback_tail, np.uint64))
+    for k in range(4):
+        vm_lanes.append(rb[k][None])
+    m0 = _gf12(mem0_state)
+    for k in range(12):
+        vm_lanes.append(m0[k][None])
+    vm_lanes.append(gf.from_u32(jnp.full((1,), mem0_len, jnp.uint32)))
+    d0 = _gf12(dec0_state)
+    for k in range(12):
+        vm_lanes.append(d0[k][None])
+    vm_lanes.append(gf.from_u32(jnp.full((1,), dec0_len, jnp.uint32)))
+    derived[1] = gf.stack(vm_lanes, axis=-1)[0]
+
+    total_cw = np.asarray(cw.execute).shape[0]
+    # type 2: unsorted side = the VM's committed decommit-queue output
+    vm_dec_final = dw["dec_q_state"][-1]
+    derived[2] = gf.concat(
+        [
+            _qs_enc(12, vm_dec_final, int(np.asarray(dw["dec_q_len"][-1]))),
+            _qs_enc(12, cw.chain_sorted[total_cw], int(np.asarray(cw.n))),
+        ],
+        axis=-1,
+    )
+    # type 3: requests = sorter-2's deduplicated RESULT queue; memory =
+    # threaded from the VM's committed final memory state
+    derived[3] = gf.concat(
+        [
+            _qs_enc(
+                12,
+                cw.result_chain[total_cw + 1],
+                int(np.asarray(cw.result_count[total_cw])),
+            ),
+            _qs_enc(12, _gf12(vm_final_mem), 0),
+        ],
+        axis=-1,
+    )
+    # type 4: the VM's committed final log queue
+    derived[4] = _qs_enc(
+        4, dw["log_fwd_tail"][-1], int(np.asarray(dw["log_fwd_len"][-1]))
+    )
+    if kcalls:
+        derived[5] = gf.concat(
+            [
+                _qs_enc(
+                    4, out_states["keccak"].tail,
+                    int(np.asarray(out_states["keccak"].length)),
+                ),
+                _qs_enc(12, _gf12(kc_init), 0),
+            ],
+            axis=-1,
+        )
+    if scalls:
+        derived[6] = gf.concat(
+            [
+                _qs_enc(
+                    4, out_states["sha256"].tail,
+                    int(np.asarray(out_states["sha256"].length)),
+                ),
+                _qs_enc(12, _gf12(sh_init), 0),
+            ],
+            axis=-1,
+        )
+    if ecalls:
+        derived[7] = gf.concat(
+            [
+                _qs_enc(
+                    4, out_states["ecrecover"].tail,
+                    int(np.asarray(out_states["ecrecover"].length)),
+                ),
+                _qs_enc(12, _gf12(ec_init), 0),
+            ],
+            axis=-1,
+        )
+    # type 8: unsorted = the threaded global queue's final state
+    derived[8] = gf.concat(
+        [
+            _qs_enc(12, _gf12(thread_state), n_mem_total),
+            _qs_enc(12, rw_.chain_sorted[n_mem_total], n_mem_total),
+            gf.expand_dims(
+                gf.from_u32(jnp.uint32(len(v.initial_mem_rows))), -1
+            ),
+        ],
+        axis=-1,
+    )
+    if storages:
+        total_sv = np.asarray(svw.execute).shape[0]
+        derived[9] = gf.concat(
+            [
+                gf.full((1,), 0),
+                _qs_enc(
+                    4, out_states["rollup_storage"].tail,
+                    int(np.asarray(out_states["rollup_storage"].length)),
+                ),
+                _qs_enc(4, svw.chain_sorted[total_sv], int(np.asarray(svw.n))),
+            ],
+            axis=-1,
+        )
+        # independently rebuilt initial root/counter (the PRIOR state the
+        # scheduler itself trusts), not the circuit's claim
+        root0_limbs = sa._bytes_to_words_le(initial_root)
+        derived[10] = gf.concat(
+            [
+                gf.full((1,), 0),
+                gf.from_u32(jnp.asarray(np.asarray(root0_limbs, np.uint32))),
+                gf.from_u32(
+                    jnp.asarray(
+                        [initial_counter_val & 0xFFFFFFFF,
+                         initial_counter_val >> 32],
+                        jnp.uint32,
+                    )
+                ),
+                _qs_enc(
+                    4,
+                    svw.result_chain[total_sv + 1],
+                    int(np.asarray(svw.result_count[total_sv])),
+                ),
+            ],
+            axis=-1,
+        )
+    for ctype, qname in ((11, "events"), (12, "l1_messages")):
+        if ctype not in sorter_w:
+            continue
+        sw = sorter_w[ctype]
+        total_ls = np.asarray(sw.execute).shape[0]
+        derived[ctype] = gf.concat(
+            [
+                _qs_enc(
+                    4, out_states[qname].tail,
+                    int(np.asarray(out_states[qname].length)),
+                ),
+                _qs_enc(4, sw.chain_sorted[total_ls], int(np.asarray(sw.n))),
+            ],
+            axis=-1,
+        )
+    if 12 in sorter_w and 13 in forms:
+        sw = sorter_w[12]
+        total_ls = np.asarray(sw.execute).shape[0]
+        derived[13] = _qs_enc(
+            4,
+            sw.result_chain[total_ls + 1],
+            int(np.asarray(sw.result_count[total_ls])),
+        )
+    required = set(derived.keys())
+
+    # ---------------- the scheduler ----------------
+    sched = None
+    if config.run_scheduler:
+        node_vk = (1, 2, 3, 4)
+        lp = {
+            t: recursion.RecursionLeafParameters(t, (5, 6, 7, 8), (9, 10, 11, 12))
+            for t in scheduler.SEQUENCE_OF_CIRCUIT_TYPES
+        }
+        proofs = {}
+        for t, cf in forms.items():
+            k = int(np.asarray(cf.start_flag).shape[0])
+            qchain = recursion.build_recursion_queue(
+                gf.full((k,), t), cf.commitment(), jnp.ones(k, dtype=bool)
+            )
+            qs = queues.QueueState(gf.zeros((12,)), qchain[k], jnp.uint32(k))
+            proofs[t] = recursion.ProofSurrogate(
+                scheduler.node_input_commitment(t, lp[t], node_vk, qs),
+                True,
+                vk_commitment=gf.from_u64(np.array(node_vk, dtype=np.uint64)),
+            )
+        sched = scheduler.run_scheduler(
+            compact_forms_by_type=forms,
+            node_proofs_by_type=proofs,
+            leaf_params_by_type=lp,
+            node_vk_commitment=node_vk,
+            derived_observable_inputs=derived,
+            required_types=required,
+            previous_block_content_hash=b"\x00" * 32,
+            block_data=scheduler.BlockPassthroughData(),
+            block_meta=scheduler.BlockMetaParameters(
+                bootloader_code_hash=v.boot_code_hash,
+                default_aa_code_hash=default_aa_code_hash,
+            ),
+            aux_output=scheduler.BlockAuxilaryOutput(
+                l1_messages_linear_hash=l1_hash or b"\x00" * 32,
+            ),
+        )
+
+    return Block2Result(
+        residuals=residuals,
+        compact_forms=forms,
+        handoffs=handoffs,
+        scheduler_result=sched,
+        l1_messages_hash=l1_hash,
+        vm=v,
+    )

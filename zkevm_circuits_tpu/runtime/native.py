@@ -62,6 +62,9 @@ def get_lib() -> ctypes.CDLL:
             lib.gl_narrow_chains.argtypes = [
                 u64p, u64p, u8p, u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ]
+            lib.gl_ram_row_check_bench.argtypes = [
+                u64p, ctypes.c_int64, u64p,
+            ]
             lib.gl_is_initialized.restype = ctypes.c_int
 
             from ..ops.poseidon2 import EXT_RC, INT_RC, MU
@@ -172,3 +175,21 @@ def narrow_chain(
     out = np.empty((n + 1, 4), dtype=np.uint64)
     lib.gl_narrow_chain(_u64p(out), _u64p(enc), _u8p(ex), _u64p(ini), n, enc_len)
     return out
+
+
+def ram_row_check_baseline(n: int = 1 << 16) -> float:
+    """Measured single-core rows/s of the ram_permutation per-row work
+    (2 Poseidon2 permutations + grand-product folds + sort/RW checks) —
+    the stand-in-Rust CPU baseline (VERDICT round 1, item 7)."""
+    import time
+
+    lib = get_lib()
+    rng = np.random.default_rng(7)
+    enc = rng.integers(0, (1 << 63), size=(n, 8), dtype=np.uint64)
+    out = np.zeros(12, np.uint64)
+    # warm once (page in + icache), then time
+    lib.gl_ram_row_check_bench(_u64p(enc), min(n, 4096), _u64p(out))
+    t0 = time.perf_counter()
+    lib.gl_ram_row_check_bench(_u64p(enc), n, _u64p(out))
+    dt = time.perf_counter() - t0
+    return n / dt
