@@ -309,6 +309,91 @@ def all_ok(residuals: dict) -> bool:
 eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
 
 
+def instance_compact_forms(
+    w: CodeUnpackerWitness, config: CodeUnpackerConfig, limit_rounds: int
+):
+    """Multi-instance ClosedFormInput over the unpack-round axis,
+    continuation across and INSIDE decommit requests (the
+    CodeDecommitterFSM role, ref code_decommiter/input.rs).  FSM at
+    boundary r: the running sha256 state, request progress, the request
+    queue consumed so far, and the memory queue after the writes emitted by
+    rounds < r (2 per round, the final round's second slot masked)."""
+    from ..ops import gf as _gf
+    from ..utils import protocol
+
+    N = config.max_rounds
+    assert N % limit_rounds == 0, (N, limit_rounds)
+    k = N // limit_rounds
+    bounds = jnp.arange(k + 1) * limit_rounds
+
+    Q = w.request_execute.shape[0]
+    write_prefix = jnp.concatenate(
+        [jnp.zeros(1, jnp.uint32),
+         jnp.cumsum(w.write_execute.astype(jnp.uint32), dtype=jnp.uint32)]
+    )
+
+    idx = jnp.arange(N)
+    first = jnp.where(w.round_is_first, idx, 0)
+    group_start = jax.lax.cummax(first)
+    round_off = (idx - group_start).astype(jnp.uint32)
+
+    def fsm_at(b):
+        in_range = b < N
+        bi = jnp.minimum(b, N - 1)
+        live = in_range & w.round_execute[bi]
+        req = jnp.where(live, w.round_request[bi].astype(jnp.uint32), Q)
+        off = jnp.where(in_range, round_off[bi], jnp.uint32(0))
+        state = jnp.where(live, w.state_before[bi], jnp.zeros(8, jnp.uint32))
+        done = jnp.where(live, req, w.num_requests).astype(jnp.int32)
+        req_state = w.request_chain[done]
+        mem_pos = jnp.where(
+            live, write_prefix[2 * bi],
+            w.write_execute.sum().astype(jnp.uint32),
+        )
+        mem_state = w.mem_chain[jnp.minimum(mem_pos, w.mem_chain.shape[0] - 1)]
+        lanes = [_gf.from_u32(state[j]) for j in range(8)]
+        lanes += [
+            _gf.from_u32(jnp.asarray(req, jnp.uint32)),
+            _gf.from_u32(off),
+            _gf.from_u32(mem_pos.astype(jnp.uint32)),
+        ]
+        lanes += [req_state[j] for j in range(12)]
+        lanes += [mem_state[j] for j in range(12)]
+        return _gf.stack(lanes, axis=-1)
+
+    fsm_states = jax.vmap(fsm_at)(bounds)
+
+    req_qs = protocol.encode_queue_state_generic(
+        _gf.zeros((12,)), w.request_chain[Q], w.num_requests
+    )
+    n_mem = w.write_execute.sum().astype(jnp.uint32)
+    mem_initial = protocol.encode_queue_state_generic(
+        _gf.zeros((12,)), w.mem_chain[0], jnp.uint32(0)
+    )
+    mem_final = protocol.encode_queue_state_generic(
+        _gf.zeros((12,)), w.mem_chain[w.mem_chain.shape[0] - 1], n_mem
+    )
+    obs_in_single = _gf.concat([req_qs, mem_initial], axis=-1)
+    obs_in = GF(
+        jnp.broadcast_to(obs_in_single.lo, (k,) + obs_in_single.lo.shape),
+        jnp.broadcast_to(obs_in_single.hi, (k,) + obs_in_single.hi.shape),
+    )
+    obs_out = GF(
+        jnp.broadcast_to(mem_final.lo, (k,) + mem_final.lo.shape),
+        jnp.broadcast_to(mem_final.hi, (k,) + mem_final.hi.shape),
+    )
+    n_rounds = w.round_execute.sum().astype(jnp.uint32)
+    start_flags = jnp.arange(k) == 0
+    completion_flags = (
+        (jnp.arange(k, dtype=jnp.uint32) + 1) * jnp.uint32(limit_rounds)
+        >= n_rounds
+    )
+    return protocol.compact_form_from_parts(
+        start_flags, completion_flags, obs_in, obs_out,
+        fsm_states[:-1], fsm_states[1:],
+    )
+
+
 def instance_compact_form(w: CodeUnpackerWitness, config: CodeUnpackerConfig):
     """Single-instance ClosedFormInput (CodeDecommitterInputData shape:
     deduped decommit queue + memory queue; output = final memory queue)."""

@@ -448,10 +448,123 @@ def all_ok(residuals: dict) -> bool:
 eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
 
 
+def instance_compact_forms(
+    w: KeccakRoundWitness,
+    config: KeccakRoundFunctionConfig,
+    limit_blocks: int,
+):
+    """Multi-instance ClosedFormInput: the block axis sliced into
+    `limit_blocks`-block instances, continuation ACROSS calls and mid-call
+    (the Keccak256RoundFunctionFSM role, ref keccak256_round_function/
+    input.rs:21-45).
+
+    The hidden FSM at boundary b carries everything the next instance needs:
+    the keccak internal state BEFORE block b (the 25 lanes, reset-at-first
+    semantics make this exact), the in-call progress (call index + block
+    offset within the call), the calls-queue state after the calls fully
+    consumed, and the memory-queue state at the call boundary (our pinned
+    order absorbs all of a call's reads before its first block, so the
+    mem position is derivable from the call index alone)."""
+    from ..ops import gf as _gf
+    from ..utils import protocol
+
+    B = config.max_blocks
+    assert B % limit_blocks == 0, (B, limit_blocks)
+    k = B // limit_blocks
+    bounds = jnp.arange(k + 1) * limit_blocks  # (k+1,)
+
+    C = w.call_execute.shape[0]
+    # reads per call; the pinned memory order is [reads of call 0, write 0,
+    # reads of call 1, write 1, ...], so the mem position at ANY block of
+    # call ci (its reads already absorbed, its write not yet) is
+    #   sum_{c<ci}(reads_c + 1) + reads_ci
+    reads_per_call = (
+        jnp.zeros(C + 1, jnp.uint32)
+        .at[w.read_call + 1]
+        .add(w.read_execute.astype(jnp.uint32))
+    )
+    prefix = jnp.concatenate(
+        [jnp.zeros(1, jnp.uint32),
+         jnp.cumsum(reads_per_call[1:] + 1, dtype=jnp.uint32)]
+    )
+    mem_pos_call = prefix[:-1] + reads_per_call[1:]  # (C,)
+
+    blk_off = _block_offset_within_call(w.block_call, w.block_is_first, B)
+
+    def fsm_at(b):
+        in_range = b < B
+        bi = jnp.minimum(b, B - 1)
+        call = jnp.where(in_range & w.block_execute[bi], w.block_call[bi], C)
+        call_u = jnp.minimum(call, C - 1).astype(jnp.int32)
+        off = jnp.where(in_range, blk_off[bi], jnp.uint32(0))
+        state_before = jnp.where(
+            in_range, w.state_lo[bi], jnp.zeros(25, jnp.uint32)
+        )
+        state_before_hi = jnp.where(
+            in_range, w.state_hi[bi], jnp.zeros(25, jnp.uint32)
+        )
+        # boundary exactly at a call start => previous calls fully consumed
+        done_calls = jnp.where(
+            in_range & w.block_execute[bi], call, w.num_calls
+        ).astype(jnp.int32)
+        call_tail = w.call_chain[done_calls]
+        mem_pos = jnp.where(
+            in_range & w.block_execute[bi],
+            mem_pos_call[call_u],
+            w.mem_order_execute.sum().astype(jnp.uint32),
+        )
+        mem_state = w.mem_chain[jnp.minimum(mem_pos, w.mem_chain.shape[0] - 1)]
+        lanes = [
+            _gf.from_u32(state_before[j]) for j in range(25)
+        ] + [
+            _gf.from_u32(state_before_hi[j]) for j in range(25)
+        ] + [
+            _gf.from_u32(jnp.asarray(call, jnp.uint32)),
+            _gf.from_u32(off),
+            _gf.from_u32(mem_pos.astype(jnp.uint32)),
+        ]
+        lanes += [call_tail[j] for j in range(4)]
+        lanes += [mem_state[j] for j in range(12)]
+        return _gf.stack(lanes, axis=-1)
+
+    fsm_states = jax.vmap(fsm_at)(bounds)  # (k+1, L)
+
+    calls_qs = protocol.encode_queue_state_generic(
+        gf.zeros((4,)), w.call_chain[C], w.num_calls
+    )
+    n_mem = w.mem_order_execute.sum().astype(jnp.uint32)
+    mem_initial = protocol.encode_queue_state_generic(
+        gf.zeros((12,)), w.mem_chain[0], jnp.uint32(0)
+    )
+    mem_final = protocol.encode_queue_state_generic(
+        gf.zeros((12,)), w.mem_chain[w.mem_chain.shape[0] - 1], n_mem
+    )
+    obs_in_single = gf.concat([calls_qs, mem_initial], axis=-1)
+    obs_in = GF(
+        jnp.broadcast_to(obs_in_single.lo, (k,) + obs_in_single.lo.shape),
+        jnp.broadcast_to(obs_in_single.hi, (k,) + obs_in_single.hi.shape),
+    )
+    obs_out_single = mem_final
+    obs_out = GF(
+        jnp.broadcast_to(obs_out_single.lo, (k,) + obs_out_single.lo.shape),
+        jnp.broadcast_to(obs_out_single.hi, (k,) + obs_out_single.hi.shape),
+    )
+
+    n_blocks = w.block_execute.sum().astype(jnp.uint32)
+    start_flags = jnp.arange(k) == 0
+    completion_flags = (
+        (jnp.arange(k, dtype=jnp.uint32) + 1) * jnp.uint32(limit_blocks)
+        >= n_blocks
+    )
+    return protocol.compact_form_from_parts(
+        start_flags, completion_flags, obs_in, obs_out,
+        fsm_states[:-1], fsm_states[1:],
+    )
+
+
 def instance_compact_form(w: KeccakRoundWitness, config: KeccakRoundFunctionConfig):
     """Single-instance ClosedFormInput (PrecompileFunctionInputData/OutputData
-    shape, ref base_structures/precompile_input_outputs/mod.rs:23-44);
-    multi-instance mid-call splitting is a round-2 item (ROADMAP.md)."""
+    shape, ref base_structures/precompile_input_outputs/mod.rs:23-44)."""
     from ..ops import gf as _gf
     from ..utils import protocol
 

@@ -320,6 +320,98 @@ def all_ok(residuals: dict) -> bool:
 eval_constraints_jit = jax.jit(eval_constraints, static_argnums=(1,))
 
 
+def instance_compact_forms(
+    w: Sha256RoundWitness, config: Sha256RoundFunctionConfig, limit_rounds: int
+):
+    """Multi-instance ClosedFormInput over the round axis, continuation
+    across calls and mid-call (the Sha256RoundFunctionFSM role, ref
+    sha256_round_function/input.rs).  FSM at boundary r: the sha256 state
+    BEFORE round r, the in-call progress, the calls-queue state after fully
+    consumed calls, and the memory-queue state at the call boundary (the
+    pinned order absorbs a call's reads before its rounds, write after)."""
+    from ..utils import protocol
+
+    N = config.max_rounds
+    assert N % limit_rounds == 0, (N, limit_rounds)
+    k = N // limit_rounds
+    bounds = jnp.arange(k + 1) * limit_rounds
+
+    C = w.call_execute.shape[0]
+    rounds_per_call = (
+        jnp.zeros(C + 1, jnp.uint32)
+        .at[w.round_call + 1]
+        .add(w.round_execute.astype(jnp.uint32))
+    )
+    reads_per_call = 2 * rounds_per_call
+    prefix = jnp.concatenate(
+        [jnp.zeros(1, jnp.uint32),
+         jnp.cumsum(reads_per_call[1:] + 1, dtype=jnp.uint32)]
+    )
+    mem_pos_call = prefix[:-1] + reads_per_call[1:]
+
+    idx = jnp.arange(N)
+    first = jnp.where(w.round_is_first, idx, 0)
+    group_start = jax.lax.cummax(first)
+    round_off = (idx - group_start).astype(jnp.uint32)
+
+    def fsm_at(b):
+        in_range = b < N
+        bi = jnp.minimum(b, N - 1)
+        live = in_range & w.round_execute[bi]
+        call = jnp.where(live, w.round_call[bi].astype(jnp.uint32), C)
+        call_u = jnp.minimum(call, C - 1).astype(jnp.int32)
+        off = jnp.where(in_range, round_off[bi], jnp.uint32(0))
+        state = jnp.where(live, w.state_before[bi], jnp.zeros(8, jnp.uint32))
+        done_calls = jnp.where(live, call, w.num_calls).astype(jnp.int32)
+        call_tail = w.call_chain[done_calls]
+        mem_pos = jnp.where(
+            live, mem_pos_call[call_u],
+            w.mem_order_execute.sum().astype(jnp.uint32),
+        )
+        mem_state = w.mem_chain[jnp.minimum(mem_pos, w.mem_chain.shape[0] - 1)]
+        lanes = [gf.from_u32(state[j]) for j in range(8)]
+        lanes += [
+            gf.from_u32(jnp.asarray(call, jnp.uint32)),
+            gf.from_u32(off),
+            gf.from_u32(mem_pos.astype(jnp.uint32)),
+        ]
+        lanes += [call_tail[j] for j in range(4)]
+        lanes += [mem_state[j] for j in range(12)]
+        return gf.stack(lanes, axis=-1)
+
+    fsm_states = jax.vmap(fsm_at)(bounds)
+
+    calls_qs = protocol.encode_queue_state_generic(
+        gf.zeros((4,)), w.call_chain[C], w.num_calls
+    )
+    n_mem = w.mem_order_execute.sum().astype(jnp.uint32)
+    mem_initial = protocol.encode_queue_state_generic(
+        gf.zeros((12,)), w.mem_chain[0], jnp.uint32(0)
+    )
+    mem_final = protocol.encode_queue_state_generic(
+        gf.zeros((12,)), w.mem_chain[w.mem_chain.shape[0] - 1], n_mem
+    )
+    obs_in_single = gf.concat([calls_qs, mem_initial], axis=-1)
+    obs_in = GF(
+        jnp.broadcast_to(obs_in_single.lo, (k,) + obs_in_single.lo.shape),
+        jnp.broadcast_to(obs_in_single.hi, (k,) + obs_in_single.hi.shape),
+    )
+    obs_out = GF(
+        jnp.broadcast_to(mem_final.lo, (k,) + mem_final.lo.shape),
+        jnp.broadcast_to(mem_final.hi, (k,) + mem_final.hi.shape),
+    )
+    n_rounds = w.round_execute.sum().astype(jnp.uint32)
+    start_flags = jnp.arange(k) == 0
+    completion_flags = (
+        (jnp.arange(k, dtype=jnp.uint32) + 1) * jnp.uint32(limit_rounds)
+        >= n_rounds
+    )
+    return protocol.compact_form_from_parts(
+        start_flags, completion_flags, obs_in, obs_out,
+        fsm_states[:-1], fsm_states[1:],
+    )
+
+
 def instance_compact_form(w: Sha256RoundWitness, config: Sha256RoundFunctionConfig):
     """Single-instance ClosedFormInput (same precompile I/O shape as keccak)."""
     from ..ops import gf as _gf

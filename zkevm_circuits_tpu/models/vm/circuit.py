@@ -136,15 +136,19 @@ def _absorb_full(state: gf.GF, enc: gf.GF) -> gf.GF:
 
 
 def _narrow_rounds(enc20: gf.GF, tail: gf.GF):
-    """3-round narrow absorb (log.rs:510-618).  enc20 (N,20), tail (N,4).
+    """3-round narrow queue push in the FRAMEWORK-STANDARD convention
+    (ops/queues.narrow_state_transition: previous tail in the capacity
+    lanes, the 20-element encoding zero-padded to 24 absorbed by rate
+    replacement) — the log queue is a standard CircuitQueue in the
+    reference, so the VM's pushes must chain bit-identically with the demux
+    input queue.  enc20 (N,20), tail (N,4).
     Returns (new_tail (N,4), [r0_out, r1_out, r2_out] full states)."""
     n = enc20.lo.shape[:-1]
-    zeros = gf.zeros(n + (4,))
-    st0 = gf.concat([enc20[..., 0:8], gf.zeros(n + (4,))], axis=-1)
+    st0 = gf.concat([enc20[..., 0:8], tail], axis=-1)
     r0 = poseidon2.permutation(st0)
     st1 = gf.concat([enc20[..., 8:16], r0[..., 8:]], axis=-1)
     r1 = poseidon2.permutation(st1)
-    st2 = gf.concat([enc20[..., 16:20], tail, r1[..., 8:]], axis=-1)
+    st2 = gf.concat([enc20[..., 16:20], gf.zeros(n + (4,)), r1[..., 8:]], axis=-1)
     r2 = poseidon2.permutation(st2)
     return r2[..., 0:4], (r0, r1, r2)
 
@@ -877,15 +881,12 @@ def _eval_memory_and_log(w: dict, c: dict) -> dict:
     enc_fwd = encode_log_queries(lq)
     enc_rb = encode_with_rollback_flag(lq)
 
-    # forward rounds (r0/r1 shared with the rollback side)
-    new_fwd_tail, (lr0, lr1, lr2) = _narrow_rounds(enc_fwd, b("log_fwd_tail"))
-    # rollback round 2: absorb the claimed previous head
-    st2_rb = gf.concat(
-        [enc_rb[..., 16:20], w["rb_prev_head"], lr1[..., 8:]], axis=-1
-    )
-    r2rb = poseidon2.permutation(st2_rb)
+    # forward queue push + independent rollback chain (standard convention:
+    # the rollback side starts from the claimed previous head in capacity)
+    new_fwd_tail, _ = _narrow_rounds(enc_fwd, b("log_fwd_tail"))
+    rb_head, _ = _narrow_rounds(enc_rb, w["rb_prev_head"])
     res["log_rollback_head_chain"] = jnp.where(
-        log_exec_rb, _gf_eq(r2rb[..., 0:4], b("ctx_rq_head")), True
+        log_exec_rb, _gf_eq(rb_head, b("ctx_rq_head")), True
     )
 
     log_dst0 = jnp.where(

@@ -226,19 +226,22 @@ class EraVM:
         self.memory.setdefault(page, {})[index] = (value & U256, bool(is_ptr))
 
     def _narrow_hash(self, tail4, enc20) -> np.ndarray:
-        """3-round narrow absorb (log.rs:510-618): rounds 0/1 absorb enc
-        lanes 0..16 from the empty state, round 2 absorbs enc[16:20] with the
-        running tail in lanes 4..8; output = lanes 0..4."""
+        """3-round narrow queue push, framework-standard convention
+        (ops/queues.narrow_state_transition: tail in the capacity lanes,
+        encoding zero-padded to 24 absorbed by rate replacement) — so the
+        VM's log-queue tail chains bit-identically with the demux input
+        queue the scheduler derives."""
         from ...runtime import native
 
         st = np.zeros(12, np.uint64)
+        st[8:12] = np.asarray(tail4, np.uint64)
         enc = np.asarray(enc20, np.uint64)
         st[:8] = enc[0:8]
         st = native.poseidon2_permute(st)
         st[:8] = enc[8:16]
         st = native.poseidon2_permute(st)
-        st[0:4] = enc[16:20]
-        st[4:8] = np.asarray(tail4, np.uint64)
+        st[:4] = enc[16:20]
+        st[4:8] = 0
         st = native.poseidon2_permute(st)
         return st[:4].copy()
 

@@ -143,6 +143,7 @@ def execute_block2(
     bootloader_heap=None,
     registers=None,
     default_aa_code_hash: int = 0,
+    previous_block_content_hash: bytes = b"\x00" * 32,
 ) -> Block2Result:
     residuals: Dict[str, dict] = {}
     forms: Dict[int, object] = {}
@@ -611,7 +612,7 @@ def execute_block2(
             node_vk_commitment=node_vk,
             derived_observable_inputs=derived,
             required_types=required,
-            previous_block_content_hash=b"\x00" * 32,
+            previous_block_content_hash=previous_block_content_hash,
             block_data=scheduler.BlockPassthroughData(),
             block_meta=scheduler.BlockMetaParameters(
                 bootloader_code_hash=v.boot_code_hash,
