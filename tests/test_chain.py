@@ -71,3 +71,26 @@ def test_interblock_masking(chain_result):
     assert recursion.interblock_aggregate_keccak(
         forged, [True, True, True, False]
     ) != cr.aggregated_input
+
+
+def test_block_with_eip4844_blobs():
+    from zkevm_circuits_tpu.models import eip_4844 as e44
+    from zkevm_circuits_tpu.ops.sha256 import sha256_ref
+
+    chunks = [bytes([i] * 31) for i in range(1, 5)]
+    vh = bytes([1]) + sha256_ref(b"kzg commitment")[1:]
+    cfg = block2.Block2Config(vm_limit=16, sorter_limit=16, ram_limit=64)
+    res = block2.execute_block2(
+        _block_code(9, 42), cfg, blobs=[(chunks, vh)],
+    )
+    assert res.ok, res.failing()
+    assert "eip_4844_0" in res.residuals
+    assert len(res.blob_compact_forms) == 1
+    aux = res.scheduler_result
+    # the blob linear hash landed in the block aux output (content hash
+    # differs from a blob-less block)
+    res2 = block2.execute_block2(_block_code(9, 42), cfg)
+    assert (
+        res.scheduler_result.block_content_hash
+        != res2.scheduler_result.block_content_hash
+    )

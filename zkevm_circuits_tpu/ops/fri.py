@@ -121,6 +121,16 @@ def _layer_leaves(v: GF2) -> GF:
     )  # (half, 4)
 
 
+def _open_path_np(levels_np, index: int) -> np.ndarray:
+    """merkle.open_path on host-side numpy level arrays -> (depth, 4) u64."""
+    sibs = []
+    idx = index
+    for lvl in levels_np[:-1]:
+        sibs.append(lvl[idx ^ 1])
+        idx >>= 1
+    return np.stack(sibs, axis=0)
+
+
 def _eval_poly_ext(coeffs: np.ndarray, x: int) -> tuple:
     """Horner eval of GF2 coefficients (2, L) u64 at BASE-field point x."""
     c0 = 0
@@ -152,7 +162,15 @@ def prove(codeword: GF, params: FriParams) -> FriProof:
         lh = merkle.hash_leaves(leaves)
         levels = merkle.tree_levels(lh, params.cap_log2)
         cap = levels[-1]
-        layers.append(dict(values=v, leaf_hashes=lh, levels=levels, cap=cap))
+        # one host pull per layer (queries below index into numpy, not
+        # per-element device slices)
+        vals_np = np.stack(
+            [np.asarray(v.c0.astype_u64()), np.asarray(v.c1.astype_u64())]
+        )
+        levels_np = [np.asarray(l.astype_u64()) for l in levels]
+        layers.append(
+            dict(values=vals_np, levels=levels_np, cap=cap)
+        )
         tr.absorb(cap)
         beta = tr.challenge_ext()
         betas.append(beta)
@@ -185,22 +203,14 @@ def prove(codeword: GF, params: FriParams) -> FriProof:
         for li, layer in enumerate(layers):
             nl = 1 << (params.log_domain - li)
             i = pos % (nl // 2)
+            vals = layer["values"]
             pair = np.array(
-                [
-                    [int(np.asarray(layer["values"].c0[i].astype_u64())),
-                     int(np.asarray(layer["values"].c1[i].astype_u64()))],
-                    [int(np.asarray(layer["values"].c0[i + nl // 2].astype_u64())),
-                     int(np.asarray(layer["values"].c1[i + nl // 2].astype_u64()))],
-                ],
+                [[vals[0, i], vals[1, i]],
+                 [vals[0, i + nl // 2], vals[1, i + nl // 2]]],
                 dtype=np.uint64,
             )
             per_layer.append(
-                dict(
-                    pair=pair,
-                    path=np.asarray(
-                        merkle.open_path(layer["levels"], i).astype_u64()
-                    ),
-                )
+                dict(pair=pair, path=_open_path_np(layer["levels"], i))
             )
             pos = i
         openings.append(per_layer)

@@ -131,7 +131,7 @@ def _int_matrix(state: GF, mu_m1: GF) -> GF:
     return _ladd(scaled, gf.expand_dims(total, -1))
 
 
-def permutation(state: GF) -> GF:
+def _permutation_impl(state: GF) -> GF:
     """Poseidon2 permutation; `state` has trailing axis 12 (any batch dims)."""
     ext_rc = _const_gf(EXT_RC)  # (8, 12)
     int_rc = _const_gf(INT_RC)  # (22,)
@@ -153,6 +153,42 @@ def permutation(state: GF) -> GF:
     state, _ = jax.lax.scan(partial_round, state, int_rc)
     state, _ = jax.lax.scan(full_round, state, ext_rc[half:])
     return gf.canonicalize(state)
+
+
+_permutation_flat_jit = jax.jit(_permutation_impl)
+
+# Eager-call batch bucketing: every distinct batch shape of the permutation
+# costs a fresh XLA compile of the 3-scan graph (~seconds on CPU, ~minutes
+# over the axon remote-compile tunnel).  Merkle tree levels, FRI layers and
+# per-query verifies all hit the permutation with different batch sizes, so
+# eager callers are rounded up to power-of-two buckets (min 2^7) and served
+# by ONE cached executable per bucket.  Traced callers (inside someone
+# else's jit/vmap/scan) take the plain path — their shapes are static.
+_MIN_BUCKET_LOG2 = 7
+
+
+def permutation(state: GF) -> GF:
+    """Poseidon2 permutation; `state` has trailing axis 12 (any batch dims).
+
+    Eager calls are batch-bucketed (padded to a power of two) so repeated
+    differently-shaped calls share compiled executables; traced calls
+    compile inline as before."""
+    if isinstance(state.lo, jax.core.Tracer) or isinstance(
+        state.hi, jax.core.Tracer
+    ):
+        return _permutation_impl(state)
+    batch = state.shape[:-1]
+    flat = 1
+    for d in batch:
+        flat *= int(d)
+    bucket = max(1 << _MIN_BUCKET_LOG2, 1 << max(0, (flat - 1).bit_length()))
+    st = state.reshape((flat, WIDTH))
+    if bucket != flat:
+        st = gf.concat([st, gf.zeros((bucket - flat, WIDTH))], axis=0)
+    out = _permutation_flat_jit(st)
+    if bucket != flat:
+        out = out[:flat]
+    return out.reshape(batch + (WIDTH,))
 
 
 # ---------------------------------------------------------------------------

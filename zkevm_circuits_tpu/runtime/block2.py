@@ -75,6 +75,7 @@ class Block2Result:
     scheduler_result: Optional[scheduler.SchedulerResult]
     l1_messages_hash: Optional[bytes]
     vm: object  # the EraVM (tapes, final state) for inspection
+    blob_compact_forms: list = dataclasses.field(default_factory=list)
 
     @property
     def ok(self) -> bool:
@@ -144,6 +145,7 @@ def execute_block2(
     registers=None,
     default_aa_code_hash: int = 0,
     previous_block_content_hash: bytes = b"\x00" * 32,
+    blobs=None,
 ) -> Block2Result:
     residuals: Dict[str, dict] = {}
     forms: Dict[int, object] = {}
@@ -389,6 +391,28 @@ def execute_block2(
             forms[13] = lh.instance_compact_form(hw, hcfg)
             l1_hash = bytes(int(b) for b in np.asarray(hw.digest))
 
+    # ---------------- eip_4844 blob circuits (scheduler 4844 hooks) --------
+    # the reference scheduler binds up to 2 blob proofs into the aux output
+    # (BlockAuxilaryOutput.eip4844_*_hashes, ref block_header + mod.rs hooks)
+    blob_linear_hashes = [b"\x00" * 32, b"\x00" * 32]
+    blob_output_hashes = [b"\x00" * 32, b"\x00" * 32]
+    blob_forms = []
+    if blobs:
+        from ..models import eip_4844 as e44
+
+        assert len(blobs) <= 2
+        for bi, (chunks, vh) in enumerate(blobs):
+            bcfg = e44.EIP4844Config(elements=max(len(chunks), 1))
+            bw = e44.generate_witness(chunks, vh, bcfg)
+            residuals[f"eip_4844_{bi}"] = e44.eval_constraints_jit(bw, bcfg)
+            blob_forms.append(e44.instance_compact_form(bw, bcfg))
+            blob_linear_hashes[bi] = bytes(
+                int(x) for x in np.asarray(bw.linear_hash)
+            )
+            blob_output_hashes[bi] = bytes(
+                int(x) for x in np.asarray(bw.output_hash)
+            )
+
     # ------- scheduler input-derivation (ref scheduler/mod.rs:239-568) -----
     # the scheduler's OWN assembly of every circuit's observable input from
     # predecessor outputs; run_scheduler commits each and requires equality
@@ -620,6 +644,8 @@ def execute_block2(
             ),
             aux_output=scheduler.BlockAuxilaryOutput(
                 l1_messages_linear_hash=l1_hash or b"\x00" * 32,
+                eip4844_linear_hashes=tuple(blob_linear_hashes),
+                eip4844_output_commitment_hashes=tuple(blob_output_hashes),
             ),
         )
 
@@ -630,4 +656,5 @@ def execute_block2(
         scheduler_result=sched,
         l1_messages_hash=l1_hash,
         vm=v,
+        blob_compact_forms=blob_forms,
     )
