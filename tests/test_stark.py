@@ -15,8 +15,12 @@ from zkevm_circuits_tpu.prover import AirSpec, StarkParams, prove, verify
 LOG_N = 6
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _air():
-    def constraints(cur, nxt):
+    def constraints(cur, nxt, ch):
         # cols: 0 = factor, 1 = accumulator
         return [gf.sub(nxt[..., 1], gf.mul(cur[..., 1], cur[..., 0]))]
 
@@ -61,10 +65,10 @@ def test_tampered_trace_opening_rejected(honest_proof):
     import copy
 
     proof = copy.deepcopy(honest_proof)
-    proof.trace_openings[0]["cur"]["row"] = np.array(
-        proof.trace_openings[0]["cur"]["row"], copy=True
+    proof.trace_openings[0]["cur"]["rows"][0] = np.array(
+        proof.trace_openings[0]["cur"]["rows"][0], copy=True
     )
-    proof.trace_openings[0]["cur"]["row"][0, 0] ^= 1
+    proof.trace_openings[0]["cur"]["rows"][0][0, 0] ^= 1
     assert not verify(proof, _air(), PARAMS)
 
 
@@ -73,5 +77,5 @@ def test_swapped_cap_rejected(honest_proof):
 
     other = prove(_trace(seed=8), _air(), PARAMS)
     proof = copy.deepcopy(honest_proof)
-    proof.trace_cap = other.trace_cap
+    proof.caps = list(other.caps)
     assert not verify(proof, _air(), PARAMS)

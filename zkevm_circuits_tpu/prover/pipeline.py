@@ -19,6 +19,7 @@ to full boojum-shape recursion.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -32,6 +33,7 @@ from .stark import AirSpec, StarkParams, StarkProof, prove, verify
 NUM_REPS = chal.DEFAULT_NUM_REPETITIONS  # 2
 
 
+@functools.lru_cache(maxsize=1)
 def permutation_air() -> AirSpec:
     """AIR of the two-repetition permutation argument.
 
@@ -45,21 +47,21 @@ def permutation_air() -> AirSpec:
     Last row (affine): lhs == rhs (permutation accepted) and lhs == public.
     """
 
-    def constraints(cur, nxt):
+    def constraints(cur, nxt, ch):
         vals = []
         for r in range(NUM_REPS):
             vals.append(gf.sub(nxt[..., 4 + r], gf.mul(cur[..., 4 + r], nxt[..., r])))
             vals.append(gf.sub(nxt[..., 6 + r], gf.mul(cur[..., 6 + r], nxt[..., 2 + r])))
         return vals
 
-    def first_row(row, public):
+    def first_row(row, public, ch):
         vals = []
         for r in range(NUM_REPS):
             vals.append(gf.sub(row[..., 4 + r], row[..., r]))
             vals.append(gf.sub(row[..., 6 + r], row[..., 2 + r]))
         return vals
 
-    def last_row(row, public):
+    def last_row(row, public, ch):
         vals = []
         for r in range(NUM_REPS):
             vals.append(gf.sub(row[..., 4 + r], row[..., 6 + r]))
