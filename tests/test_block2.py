@@ -201,6 +201,7 @@ def block_result():
         vm_limit=128, vm_instance_limit=32, sorter_limit=32, hasher_limit=8,
         unpacker_rounds=16, keccak_blocks=8, keccak_reads=16, sha_rounds=8,
         ec_calls=1, storage_rows=16, ram_limit=128,
+        prove_sorter_starks=True,
     )
     res = block2.execute_block2(
         code, cfg, storage=storage, code_store=code_store, bootloader_heap=heap,
@@ -245,6 +246,15 @@ def test_vm_exited_cleanly_with_results(block_result):
 def test_l1_hash_produced(block_result):
     res, _ = block_result
     assert res.l1_messages_hash is not None
+    assert res.scheduler_result is not None
+
+
+def test_sorter_starks_proven(block_result):
+    """Every grand-product family's node proof carried a verifier-produced
+    STARK verdict (types 2/8/9/11/12), not a witness claim."""
+    res, _ = block_result
+    assert sorted(res.stark_verdicts) == [2, 8, 9, 11, 12]
+    assert all(res.stark_verdicts.values()), res.stark_verdicts
     assert res.scheduler_result is not None
 
 

@@ -19,13 +19,15 @@ to full boojum-shape recursion.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..models import recursion
-from ..ops import gf, poseidon2
+from ..ops import gf, poseidon2, queues
 from ..ops.gf import GF
 from ..utils import challenges as chal
 from .stark import AirSpec, StarkParams, StarkProof, prove, verify
@@ -78,28 +80,62 @@ def permutation_air() -> AirSpec:
     )
 
 
-def permutation_trace(w) -> Tuple[GF, GF]:
-    """(8, n) trace + (2,) public final products from a RamPermutationWitness.
+def sorter_encodings(w) -> Tuple[GF, GF]:
+    """(enc_unsorted, enc_sorted) from any sorter witness.
+
+    All four grand-product circuit families expose the committed element
+    encodings under one of two field-name conventions: plain (`enc_unsorted`,
+    ram_permutation / sort_decommittment_requests / log_sorter) or extended
+    with the cycle-index timestamp (`enc_unsorted_ext`, storage_validity —
+    ref `storage_validity_by_grand_product/mod.rs:63-109`)."""
+    enc_u = getattr(w, "enc_unsorted", None)
+    if enc_u is None:
+        enc_u = w.enc_unsorted_ext
+    enc_s = getattr(w, "enc_sorted", None)
+    if enc_s is None:
+        enc_s = w.enc_sorted_ext
+    return enc_u, enc_s
+
+
+def grand_product_trace(enc_unsorted: GF, enc_sorted: GF, challenges: GF,
+                        execute) -> Tuple[GF, GF]:
+    """(8, m) trace + (2,) public final products for ANY grand-product pair.
 
     Factors are re-derived from the witness's committed encodings and
     challenges (chal.grand_product_factors) with padding rows masked to 1,
-    exactly as `eval_constraints` does — the STARK proves the SAME relation
-    the checker evaluates."""
+    exactly as each sorter's `eval_constraints` does — the STARK proves the
+    SAME relation the checker evaluates.  The encoding width (8 for memory/
+    decommit queries, 20 for log queries, 21 for timestamped storage logs)
+    is absorbed into the factors, so one AIR covers every family.  Rows are
+    padded with factor=1 up to a power of two; running products are
+    recomputed (they agree with the witness's lhs/rhs on real rows)."""
     f_u = chal.masked_factors(
-        chal.grand_product_factors(w.enc_unsorted, w.challenges), w.execute
+        chal.grand_product_factors(enc_unsorted, challenges), execute
     )
     f_s = chal.masked_factors(
-        chal.grand_product_factors(w.enc_sorted, w.challenges), w.execute
+        chal.grand_product_factors(enc_sorted, challenges), execute
     )
     n = f_u.shape[0]
-    assert n & (n - 1) == 0, "witness length must be a power of two"
+    m = 1 << max((n - 1).bit_length(), 1)
+    if m != n:
+        pad = gf.ones((m - n, NUM_REPS))
+        f_u = gf.concat([f_u, pad], axis=0)
+        f_s = gf.concat([f_s, pad], axis=0)
+    ones = gf.ones((NUM_REPS,))
+    lhs = chal.product_accumulate(f_u, ones)
+    rhs = chal.product_accumulate(f_s, ones)
     cols = [f_u[..., r] for r in range(NUM_REPS)]
     cols += [f_s[..., r] for r in range(NUM_REPS)]
-    cols += [w.lhs[..., r] for r in range(NUM_REPS)]
-    cols += [w.rhs[..., r] for r in range(NUM_REPS)]
+    cols += [lhs[..., r] for r in range(NUM_REPS)]
+    cols += [rhs[..., r] for r in range(NUM_REPS)]
     trace = gf.stack(cols, axis=0)
-    public = w.lhs[n - 1]  # (NUM_REPS,) final products (== rhs at accept)
+    public = lhs[m - 1]  # (NUM_REPS,) final products (== rhs at accept)
     return trace, public
+
+
+def permutation_trace(w) -> Tuple[GF, GF]:
+    enc_u, enc_s = sorter_encodings(w)
+    return grand_product_trace(enc_u, enc_s, w.challenges, w.execute)
 
 
 def prove_permutation_argument(
@@ -116,6 +152,160 @@ def prove_permutation_argument(
 def verify_permutation_argument(proof: StarkProof, public: GF,
                                 params: StarkParams) -> bool:
     return verify(proof, permutation_air(), params, public)
+
+
+def prove_sorter_argument(w, params: Optional[StarkParams] = None):
+    """Prove any sorter family's grand-product argument end to end.
+
+    Works for ram_permutation, sort_decommittment_requests, log_sorter and
+    storage_validity witnesses (duck-typed via `sorter_encodings`).  Returns
+    (verdict, proof, public, params) where `verdict` is the REAL verifier
+    outcome AND the cross-check that the proven public final products equal
+    the witness's committed final grand products — the value the circuit's
+    completion check compares (ref `src/utils.rs:81-137`,
+    `ram_permutation/mod.rs:166-175`)."""
+    proof, public, params = prove_permutation_argument(w, params)
+    ok = verify_permutation_argument(proof, public, params)
+    total = int(np.asarray(w.execute).shape[0])
+    committed = np.asarray(w.lhs.astype_u64())[total - 1]
+    proven = np.asarray(public.astype_u64())
+    ok = bool(ok) and bool((committed == proven).all())
+    return ok, proof, public, params
+
+
+# ---------------------------------------------------------------------------
+# Fully proof-backed sorter argument: grand product + both queue-tail chains
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SorterFullProof:
+    """Everything a verifier needs for one sorter family's permutation
+    argument with NO trusted recomputation of sponge work:
+
+      * `chain_u`/`chain_s`: Poseidon2 sponge-chain STARKs binding each
+        queue tail to the plaintext element encodings (message-RLC bound,
+        prover/poseidon2_air.py) — the tails that seed the Fiat-Shamir
+        challenges (ref `src/utils.rs:12-78`);
+      * `gp`: the grand-product STARK whose publics are the final products
+        (ref `src/utils.rs:81-137`).
+
+    The verifier (`verify_sorter_full`) re-derives the challenges from the
+    PROVEN tails, recomputes the factors from the same plaintext encodings
+    the chain proofs bind, and cross-checks the grand-product publics —
+    host work is reduced to hashing/linear algebra over public data, the
+    boojum-verifier split."""
+
+    gp_proof: StarkProof
+    gp_public: GF
+    gp_params: StarkParams
+    chain_u: Optional[Tuple[StarkProof, StarkParams]]
+    chain_s: Optional[Tuple[StarkProof, StarkParams]]
+    tail_u: np.ndarray  # (4,) or (12,) proven final tail/state, unsorted side
+    tail_s: np.ndarray
+    n_real: int
+
+
+def _chain_absorbed_encodings(w) -> Tuple[np.ndarray, np.ndarray, object]:
+    """Plaintext encodings each side's sponge chain absorbs, plus the
+    ChainSpec.  storage_validity's unsorted chain absorbs the RAW LogQuery
+    encodings while its grand product runs over the timestamped extension
+    (ref `storage_validity_by_grand_product/mod.rs:63-109`), so the raw side
+    is recomputed from the stored queries."""
+    from . import poseidon2_air as pa
+
+    width = w.chain_unsorted.shape[-1]
+    spec = pa.FULL if width == queues.FULL_STATE_WIDTH else pa.NARROW
+    enc_u = getattr(w, "enc_unsorted", None)
+    if enc_u is None:
+        from ..base_structures.log_query import encode_log_queries
+
+        enc_u = encode_log_queries(w.unsorted)
+        enc_s = w.enc_sorted_ext
+    else:
+        enc_s = w.enc_sorted
+    return (
+        np.asarray(enc_u.astype_u64(), np.uint64),
+        np.asarray(enc_s.astype_u64(), np.uint64),
+        spec,
+    )
+
+
+def prove_sorter_full(w, gp_params: Optional[StarkParams] = None,
+                      chain_params: Optional[StarkParams] = None
+                      ) -> Tuple[bool, SorterFullProof]:
+    """Prove + verify a sorter's COMPLETE argument (chains and products)."""
+    from . import poseidon2_air as pa
+
+    n_real = int(np.asarray(w.execute).sum())
+    width = w.chain_unsorted.shape[-1]
+    tail_u = np.asarray(w.chain_unsorted.astype_u64(), np.uint64)[n_real]
+    tail_s = np.asarray(w.chain_sorted.astype_u64(), np.uint64)[n_real]
+
+    gp_proof, gp_public, gp_params = prove_permutation_argument(w, gp_params)
+
+    chain_u = chain_s = None
+    if n_real > 0:
+        enc_u, enc_s, spec = _chain_absorbed_encodings(w)
+        init4 = np.zeros(4, dtype=np.uint64)
+        pu, _, pru = pa.prove_queue_chain(enc_u[:n_real], init4, spec,
+                                          chain_params)
+        ps, _, prs = pa.prove_queue_chain(enc_s[:n_real], init4, spec,
+                                          chain_params)
+        chain_u, chain_s = (pu, pru), (ps, prs)
+
+    full = SorterFullProof(gp_proof, gp_public, gp_params, chain_u, chain_s,
+                           tail_u, tail_s, n_real)
+    return verify_sorter_full(w, full), full
+
+
+def verify_sorter_full(w, full: SorterFullProof) -> bool:
+    """The verifier side: chain proofs against plaintext encodings, FS
+    challenge re-derivation from the PROVEN tails, factor recomputation,
+    grand-product proof, and the final-product cross-check."""
+    from . import poseidon2_air as pa
+
+    n_real = full.n_real
+    width = w.chain_unsorted.shape[-1]
+    total = int(np.asarray(w.execute).shape[0])
+
+    if n_real == 0:
+        # empty queues: tails must be the trivial state and products 1
+        ones = np.ones_like(np.asarray(w.lhs.astype_u64())[total - 1])
+        return bool(
+            (full.tail_u == 0).all() and (full.tail_s == 0).all()
+            and (np.asarray(w.lhs.astype_u64())[total - 1] == ones).all()
+            and (np.asarray(w.rhs.astype_u64())[total - 1] == ones).all()
+        )
+
+    enc_u, enc_s, spec = _chain_absorbed_encodings(w)
+    init4 = np.zeros(4, dtype=np.uint64)
+    if full.chain_u is None or full.chain_s is None:
+        return False
+    ok = pa.verify_queue_chain(full.chain_u[0], enc_u[:n_real], init4,
+                               full.tail_u, spec, full.chain_u[1])
+    ok &= pa.verify_queue_chain(full.chain_s[0], enc_s[:n_real], init4,
+                                full.tail_s, spec, full.chain_s[1])
+
+    # Fiat-Shamir: challenges derive from the PROVEN tails (utils.rs:12-78)
+    gp_enc_u, gp_enc_s = sorter_encodings(w)
+    num_ch = int(gp_enc_u.shape[-1]) + 1
+    su = queues.QueueState(gf.zeros((width,)), gf.from_u64(full.tail_u),
+                           jnp.uint32(n_real))
+    ss = queues.QueueState(gf.zeros((width,)), gf.from_u64(full.tail_s),
+                           jnp.uint32(n_real))
+    fs = chal.produce_fs_challenges(su, ss, num_ch, NUM_REPS)
+    ok &= bool(
+        (np.asarray(fs.astype_u64()) == np.asarray(w.challenges.astype_u64()))
+        .all()
+    )
+
+    # grand product over the re-derived factors, publics = final products
+    ok &= bool(verify(full.gp_proof, permutation_air(), full.gp_params,
+                      full.gp_public))
+    committed = np.asarray(w.lhs.astype_u64())[total - 1]
+    ok &= bool((committed == np.asarray(full.gp_public.astype_u64())).all())
+    return bool(ok)
 
 
 def stark_vk_commitment(air: AirSpec, params: StarkParams) -> GF:

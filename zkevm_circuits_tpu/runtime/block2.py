@@ -65,6 +65,10 @@ class Block2Config:
     storage_rows: int = 16
     ram_limit: int = 128
     run_scheduler: bool = True
+    # prove every grand-product sorter's permutation argument with the real
+    # coset-quotient STARK (prover/pipeline.py) and feed the VERIFIER's
+    # verdict — not a witness claim — into the scheduler's node proofs
+    prove_sorter_starks: bool = False
 
 
 @dataclasses.dataclass
@@ -76,6 +80,9 @@ class Block2Result:
     l1_messages_hash: Optional[bytes]
     vm: object  # the EraVM (tapes, final state) for inspection
     blob_compact_forms: list = dataclasses.field(default_factory=list)
+    # circuit type -> verifier-produced STARK verdict for its grand-product
+    # argument (only populated when Block2Config.prove_sorter_starks)
+    stark_verdicts: Dict[int, bool] = dataclasses.field(default_factory=dict)
 
     @property
     def ok(self) -> bool:
@@ -609,6 +616,22 @@ def execute_block2(
         )
     required = set(derived.keys())
 
+    # -------- real STARK proofs for the grand-product arguments ----------
+    # one coset-quotient STARK per sorter family (types 2/8/9/11/12): the
+    # proven public values are the final grand products the circuit's
+    # completion check compares (ref utils.rs:81-137), and the verdict that
+    # reaches the scheduler below is the VERIFIER's, not a witness claim
+    gp_witnesses = {2: cw, 8: rw_, **sorter_w}
+    if storages:
+        gp_witnesses[9] = svw
+    stark_verdicts = {}
+    if config.prove_sorter_starks:
+        from ..prover import pipeline as stark_pipeline
+
+        for t in sorted(gp_witnesses):
+            ok, _, _, _ = stark_pipeline.prove_sorter_argument(gp_witnesses[t])
+            stark_verdicts[t] = ok
+
     # ---------------- the scheduler ----------------
     sched = None
     if config.run_scheduler:
@@ -626,7 +649,7 @@ def execute_block2(
             qs = queues.QueueState(gf.zeros((12,)), qchain[k], jnp.uint32(k))
             proofs[t] = recursion.ProofSurrogate(
                 scheduler.node_input_commitment(t, lp[t], node_vk, qs),
-                True,
+                stark_verdicts.get(t, True),
                 vk_commitment=gf.from_u64(np.array(node_vk, dtype=np.uint64)),
             )
         sched = scheduler.run_scheduler(
@@ -657,4 +680,5 @@ def execute_block2(
         l1_messages_hash=l1_hash,
         vm=v,
         blob_compact_forms=blob_forms,
+        stark_verdicts=stark_verdicts,
     )
