@@ -112,3 +112,39 @@ def test_vm2_auto_sharded():
     res = auto.eval_sharded(vm.eval_constraints, dw, 16, mesh, 16)
     bad = [k for k, r in res.items() if not bool(np.asarray(r).all())]
     assert not bad, bad
+
+
+def test_vm_instance_sharded_eval():
+    """ROADMAP#4: instance k of the VM circuit evaluated on device k over
+    the "inst" mesh axis; windowed eval must agree with the monolithic
+    eval (transition checks never cross a window boundary)."""
+    import jax
+    import numpy as np
+
+    from zkevm_circuits_tpu.isa import opcodes as isa
+    from zkevm_circuits_tpu.models import vm
+    from zkevm_circuits_tpu.parallel import mesh as meshlib
+
+    enc = isa.encode_instruction
+    prog = [
+        enc(isa.ADD, src_mode=isa.SRC_IMM, imm0=41, src1=0, dst0=1),
+        enc(isa.ADD, src_mode=isa.SRC_IMM, imm0=1, src1=1, dst0=2),
+        enc(isa.BINOP, isa.BINOP_XOR, src0=1, src1=2, dst0=3),
+        enc(isa.RET, isa.RET_OK),
+    ]
+    total = 16
+    v = vm.EraVM(vm.assemble_code_words(prog), total)
+    dw = vm.prepare_device_witness(v.run())
+
+    mesh = meshlib.make_mesh(n_rows=len(jax.devices()) // 2, n_inst=2)
+    limit = total // 2  # 2 instances across the 2-wide "inst" axis
+    res = vm.vm_eval_instances_sharded(dw, limit, mesh)
+    bad = [k for k, r in res.items() if not bool(np.asarray(r).all())]
+    assert not bad, bad
+    # every residual carries the (n_instances,) leading axis
+    some = np.asarray(next(iter(res.values())))
+    assert some.shape[0] == 2
+
+    mono = vm.eval_constraints_jit(dw, total)
+    bad = [k for k, r in mono.items() if not bool(np.asarray(r).all())]
+    assert not bad, bad

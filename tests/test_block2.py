@@ -202,6 +202,7 @@ def block_result():
         unpacker_rounds=16, keccak_blocks=8, keccak_reads=16, sha_rounds=8,
         ec_calls=1, storage_rows=16, ram_limit=128,
         prove_sorter_starks=True,
+        prove_commitments=True,
     )
     res = block2.execute_block2(
         code, cfg, storage=storage, code_store=code_store, bootloader_heap=heap,
@@ -256,6 +257,16 @@ def test_sorter_starks_proven(block_result):
     assert sorted(res.stark_verdicts) == [2, 8, 9, 11, 12]
     assert all(res.stark_verdicts.values()), res.stark_verdicts
     assert res.scheduler_result is not None
+
+
+def test_all_compact_commitments_proven(block_result):
+    """Every circuit type's per-instance ClosedFormInput commitment — the
+    payload the scheduler queues into the recursion tree (ref
+    fsm_input_output/mod.rs:281-326, scheduler/mod.rs:902-961) — carried a
+    verifier-checked sponge-chain STARK proof."""
+    res, _ = block_result
+    assert sorted(res.commitment_verdicts) == list(range(1, 14))
+    assert all(res.commitment_verdicts.values()), res.commitment_verdicts
 
 
 def test_tamper_breaks_block(block_result):

@@ -261,3 +261,56 @@ def test_leaf_layer_consumes_real_proof(proven):
         basic_vk_commitment=pipeline.stark_vk_commitment(air, other_params),
     )
     assert not bool(np.asarray(res2["proof_vk"]).all())
+
+
+# ---------------------------------------------------------------------------
+# ClosedFormInput commitment proofs (prove_compact_commitment)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def commitment_proven():
+    from zkevm_circuits_tpu.ops import poseidon2
+
+    rng = np.random.default_rng(0xC0DE)
+    enc = rng.integers(0, gf.MODULUS, size=18, dtype=np.uint64)
+    want = np.asarray(poseidon2.hash_padded(gf.from_u64(enc)).astype_u64())
+    proof, c, fs, params = pipeline.prove_compact_commitment(enc)
+    return enc, want, proof, c, fs, params
+
+
+def test_compact_commitment_matches_and_verifies(commitment_proven):
+    enc, want, proof, c, fs, params = commitment_proven
+    # the proven commitment IS commit_encoding(enc)
+    np.testing.assert_array_equal(c, want)
+    assert pipeline.verify_compact_commitment(proof, enc, c, fs, params)
+
+
+def test_compact_commitment_binds_plaintext(commitment_proven):
+    enc, _, proof, c, fs, params = commitment_proven
+    forged = enc.copy()
+    forged[5] ^= 1
+    assert not pipeline.verify_compact_commitment(proof, forged, c, fs, params)
+
+
+def test_compact_commitment_binds_claimed_value(commitment_proven):
+    enc, _, proof, c, fs, params = commitment_proven
+    forged = c.copy()
+    forged[0] = (int(forged[0]) + 1) % gf.MODULUS
+    assert not pipeline.verify_compact_commitment(proof, enc, forged, fs,
+                                                  params)
+
+
+def test_instance_commitments_over_compact_forms():
+    from zkevm_circuits_tpu.utils import protocol
+
+    rng = np.random.default_rng(3)
+    obs_in = gf.from_u64(rng.integers(0, gf.MODULUS, (2, 6), dtype=np.uint64))
+    obs_out = gf.from_u64(rng.integers(0, gf.MODULUS, (2, 3), dtype=np.uint64))
+    fsm = gf.from_u64(rng.integers(0, gf.MODULUS, (2, 5), dtype=np.uint64))
+    start = jnp.array([True, False])
+    complete = jnp.array([False, True])
+    forms = protocol.compact_form_from_parts(start, complete, obs_in, obs_out,
+                                             fsm, fsm)
+    ok, proofs = pipeline.prove_instance_commitments(forms)
+    assert ok and len(proofs) == 2

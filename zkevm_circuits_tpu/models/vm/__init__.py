@@ -28,4 +28,6 @@ from .compact import (  # noqa: F401
     boot_and_exit_residuals,
     encode_local_state,
     vm_instance_compact_forms,
+    vm_instance_windows,
+    vm_eval_instances_sharded,
 )

@@ -278,3 +278,64 @@ def vm_instance_compact_forms(dw: dict, limit: int):
     )
     residuals.update({"instance_" + k: v for k, v in chain.items()})
     return forms, residuals
+
+
+# ---------------------------------------------------------------------------
+# Per-instance sharded re-evaluation (the pipeline-parallel analog)
+# ---------------------------------------------------------------------------
+
+
+def vm_instance_windows(dw: dict, limit: int):
+    """Slice the device witness into n overlapping per-instance windows.
+
+    State columns (leading dim total+1) become (n, limit+1, ...) windows —
+    consecutive instances SHARE their boundary row, which is exactly the
+    VmLocalState the compact forms commit as hidden FSM input/output, so a
+    window-local eval plus `check_instance_chaining` equals the monolithic
+    eval.  Per-cycle columns (leading dim total) become (n, limit, ...).
+    Everything else (per-block constants like `block_rollback_tail`) is
+    broadcast.  Returns (windows, vmap_in_axes, n)."""
+    total = int(dw["ts"].shape[0]) - 1
+    assert total % limit == 0, (total, limit)
+    n = total // limit
+    state_idx = np.arange(n)[:, None] * limit + np.arange(limit + 1)[None, :]
+    cyc_idx = state_idx[:, :-1]
+    windows, axes = {}, {}
+    for k, v in dw.items():
+        shape = (v.lo if isinstance(v, gf.GF) else v).shape
+        lead = int(shape[0]) if len(shape) else -1
+        if lead == total + 1:
+            windows[k], axes[k] = v[state_idx], 0
+        elif lead == total:
+            windows[k], axes[k] = v[cyc_idx], 0
+        else:
+            windows[k], axes[k] = v, None
+    return windows, axes, n
+
+
+def vm_eval_instances_sharded(dw: dict, limit: int, mesh, axis: str = "inst"):
+    """Evaluate the VM circuit once PER ClosedFormInput instance with
+    instance k placed on mesh slot k of `axis` (ROADMAP #4; the role of one
+    prover machine per circuit instance in the reference's deployment).
+
+    The circuit body is `eval_constraints` unchanged — vmapped over the
+    window axis and jit-sharded so XLA keeps each instance's rows local to
+    its device (transition checks never cross a window edge by
+    construction).  Returns the residual dict with a leading (n,) instance
+    axis per entry."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .circuit import eval_constraints
+
+    windows, axes, n = vm_instance_windows(dw, limit)
+    shardings = {
+        k: NamedSharding(mesh, P(axis) if axes[k] == 0 else P())
+        for k in windows
+    }
+    windows = jax.device_put(windows, shardings)
+    fn = jax.jit(
+        jax.vmap(lambda w_: eval_constraints(w_, limit), in_axes=(axes,)),
+        static_argnums=(),
+    )
+    return fn(windows)

@@ -308,6 +308,95 @@ def verify_sorter_full(w, full: SorterFullProof) -> bool:
     return bool(ok)
 
 
+# ---------------------------------------------------------------------------
+# ClosedFormInput commitment proofs
+# ---------------------------------------------------------------------------
+
+
+def _commitment_chunks(encoding_u64: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(chunks, init_capacity) reproducing `poseidon2.hash_padded` with
+    length specialization (ref fsm_input_output/mod.rs:281-326): zero-pad to
+    a rate multiple, replacement-absorb from the empty state whose LAST
+    capacity lane carries the pre-padding length."""
+    enc = np.asarray(encoding_u64, np.uint64).reshape(-1)
+    n = enc.shape[0]
+    assert n > 0, "empty encodings are not committed through the sponge"
+    padded = n + (-n) % poseidon2.RATE
+    chunks = np.zeros((max(padded, poseidon2.RATE) // poseidon2.RATE,
+                       poseidon2.RATE), np.uint64)
+    chunks.reshape(-1)[:n] = enc
+    init = np.array([0, 0, 0, n % gf.MODULUS], dtype=np.uint64)
+    return chunks, init
+
+
+def prove_compact_commitment(encoding_u64: np.ndarray,
+                             params: Optional[StarkParams] = None):
+    """STARK proof that `commitment = commit_encoding(encoding)` — the
+    per-instance public-input commitment every circuit exposes and the
+    scheduler queues into the recursion tree (ref fsm_input_output/
+    mod.rs:281-326, scheduler/mod.rs:902-961).
+
+    The padded sponge IS a FULL-spec chain (replacement absorption, carried
+    capacity lanes) seeded from the length-specialized empty state, so the
+    existing sponge-chain AIR proves it unchanged.  Returns
+    (proof, commitment(4,) u64, final_state(12,) u64, params); the verifier
+    needs the full final state (it is public in the proof) because the
+    commitment is its first 4 lanes."""
+    from . import poseidon2_air as pa
+
+    chunks, init = _commitment_chunks(encoding_u64)
+    proof, publics, params = pa.prove_queue_chain(chunks, init, pa.FULL,
+                                                  params)
+    pub = np.asarray(publics.astype_u64(), np.uint64)
+    final_state = pub[4:16]
+    return proof, final_state[:4].copy(), final_state, params
+
+
+def verify_compact_commitment(proof: StarkProof, encoding_u64: np.ndarray,
+                              commitment_u64: np.ndarray,
+                              final_state_u64: np.ndarray,
+                              params: StarkParams) -> bool:
+    """Verifier side: rebuild the padded chunks from the PLAINTEXT compact
+    form, check the chain proof against them, and bind the claimed
+    commitment to the proven final state's rate lanes."""
+    from . import poseidon2_air as pa
+
+    chunks, init = _commitment_chunks(encoding_u64)
+    final_state = np.asarray(final_state_u64, np.uint64)
+    if final_state.shape != (12,):
+        return False
+    ok = pa.verify_queue_chain(proof, chunks, init, final_state, pa.FULL,
+                               params)
+    return bool(ok) and bool(
+        (np.asarray(commitment_u64, np.uint64) == final_state[:4]).all()
+    )
+
+
+def prove_instance_commitments(compact_forms) -> Tuple[bool, list]:
+    """Prove EVERY instance's ClosedFormInput commitment for one circuit
+    type.  `compact_forms` is the batched ClosedFormInputCompactForm the
+    block driver emits (leading axis = instances).  Returns (all_ok, proofs)
+    where proofs[k] = (proof, commitment, final_state, params); all proofs
+    share one trace shape (the 18-element compact encoding), so they share
+    one compiled executable."""
+    enc = np.asarray(compact_forms.encode().astype_u64(), np.uint64)
+    want = np.asarray(compact_forms.commitment().astype_u64(), np.uint64)
+    if enc.ndim == 1:
+        enc, want = enc[None], want[None]
+    ok = True
+    proofs = []
+    for k in range(enc.shape[0]):
+        proof, commitment, final_state, params = prove_compact_commitment(
+            enc[k]
+        )
+        good = verify_compact_commitment(proof, enc[k], commitment,
+                                         final_state, params)
+        good &= bool((commitment == want[k]).all())
+        ok &= bool(good)
+        proofs.append((proof, commitment, final_state, params))
+    return ok, proofs
+
+
 def stark_vk_commitment(air: AirSpec, params: StarkParams) -> GF:
     """(4,) Poseidon2 commitment to the STARK verifier's parameters — the
     role of the reference's VK commitment (recursion/leaf_layer/mod.rs:91-127):

@@ -69,6 +69,17 @@ class Block2Config:
     # coset-quotient STARK (prover/pipeline.py) and feed the VERIFIER's
     # verdict — not a witness claim — into the scheduler's node proofs
     prove_sorter_starks: bool = False
+    # upgrade the sorter proofs to the FULL argument (grand product AND both
+    # Poseidon2 queue-tail sponge chains, `prove_sorter_full`): the verifier
+    # re-derives the Fiat-Shamir challenges from PROVEN tails instead of
+    # trusting the witness's
+    prove_full_sorter_chains: bool = False
+    # prove every circuit instance's ClosedFormInput commitment — the value
+    # the scheduler pushes into the per-type recursion queue (ref
+    # fsm_input_output/mod.rs:281-326, scheduler/mod.rs:902-961) — with the
+    # sponge-chain STARK, so the recursion tree's leaf publics are
+    # proof-backed rather than recomputed by a trusting host
+    prove_commitments: bool = False
 
 
 @dataclasses.dataclass
@@ -83,6 +94,11 @@ class Block2Result:
     # circuit type -> verifier-produced STARK verdict for its grand-product
     # argument (only populated when Block2Config.prove_sorter_starks)
     stark_verdicts: Dict[int, bool] = dataclasses.field(default_factory=dict)
+    # circuit type -> verifier verdict over ALL instance ClosedFormInput
+    # commitment proofs (only populated when Block2Config.prove_commitments)
+    commitment_verdicts: Dict[int, bool] = dataclasses.field(
+        default_factory=dict
+    )
 
     @property
     def ok(self) -> bool:
@@ -629,8 +645,25 @@ def execute_block2(
         from ..prover import pipeline as stark_pipeline
 
         for t in sorted(gp_witnesses):
-            ok, _, _, _ = stark_pipeline.prove_sorter_argument(gp_witnesses[t])
+            if config.prove_full_sorter_chains:
+                ok, _full = stark_pipeline.prove_sorter_full(gp_witnesses[t])
+            else:
+                ok, _, _, _ = stark_pipeline.prove_sorter_argument(
+                    gp_witnesses[t]
+                )
             stark_verdicts[t] = ok
+
+    # ------ proofs of the ClosedFormInput commitments themselves ---------
+    # the recursion queue's payload per instance is (circuit_type,
+    # commit_encoding(compact_form)); proving the sponge makes the leaf
+    # publics proof-backed end to end
+    commitment_verdicts = {}
+    if config.prove_commitments:
+        from ..prover import pipeline as stark_pipeline
+
+        for t in sorted(forms):
+            ok, _proofs = stark_pipeline.prove_instance_commitments(forms[t])
+            commitment_verdicts[t] = ok
 
     # ---------------- the scheduler ----------------
     sched = None
@@ -649,7 +682,8 @@ def execute_block2(
             qs = queues.QueueState(gf.zeros((12,)), qchain[k], jnp.uint32(k))
             proofs[t] = recursion.ProofSurrogate(
                 scheduler.node_input_commitment(t, lp[t], node_vk, qs),
-                stark_verdicts.get(t, True),
+                stark_verdicts.get(t, True)
+                and commitment_verdicts.get(t, True),
                 vk_commitment=gf.from_u64(np.array(node_vk, dtype=np.uint64)),
             )
         sched = scheduler.run_scheduler(
@@ -681,4 +715,5 @@ def execute_block2(
         vm=v,
         blob_compact_forms=blob_forms,
         stark_verdicts=stark_verdicts,
+        commitment_verdicts=commitment_verdicts,
     )
