@@ -9,6 +9,10 @@ from zkevm_circuits_tpu.models import log_sorter as ls
 from zkevm_circuits_tpu.models import ram_permutation as ram
 from zkevm_circuits_tpu.parallel import auto, mesh as meshlib
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-suite tier (see pyproject markers)
+
 
 def test_log_sorter_auto_sharded():
     rows = [

@@ -22,6 +22,10 @@ from zkevm_circuits_tpu.ops import secp256k1 as ec
 from zkevm_circuits_tpu.ops.keccak import keccak256_ref
 from zkevm_circuits_tpu.runtime import block2
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-suite tier (see pyproject markers)
+
 enc = isa.encode_instruction
 FIRST = 1 << isa.FIRST_MESSAGE_FLAG_IDX
 SWAP = 1 << isa.SWAP_OPERANDS_FLAG_IDX_FOR_ARITH_OPCODES
@@ -202,6 +206,7 @@ def block_result():
         unpacker_rounds=16, keccak_blocks=8, keccak_reads=16, sha_rounds=8,
         ec_calls=1, storage_rows=16, ram_limit=128,
         prove_sorter_starks=True,
+        prove_full_sorter_chains=True,
         prove_commitments=True,
     )
     res = block2.execute_block2(
@@ -252,7 +257,11 @@ def test_l1_hash_produced(block_result):
 
 def test_sorter_starks_proven(block_result):
     """Every grand-product family's node proof carried a verifier-produced
-    STARK verdict (types 2/8/9/11/12), not a witness claim."""
+    STARK verdict (types 2/8/9/11/12), not a witness claim.  The fixture
+    config sets prove_full_sorter_chains=True, so each verdict covers the
+    FULL argument: grand product AND both Poseidon2 queue-tail chains, with
+    Fiat-Shamir challenges re-derived from proven tails (prove_sorter_full)
+    — including the n_real==0 empty-queue branch for inactive families."""
     res, _ = block_result
     assert sorted(res.stark_verdicts) == [2, 8, 9, 11, 12]
     assert all(res.stark_verdicts.values()), res.stark_verdicts

@@ -6,6 +6,10 @@ from zkevm_circuits_tpu.base_structures.vm_state import VmStateColumns
 from zkevm_circuits_tpu.isa import opcodes_legacy as isa
 from zkevm_circuits_tpu.runtime import block
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-suite tier (see pyproject markers)
+
 
 def test_execute_block_end_to_end():
     CODE_HASH = (0x0101 << 224) | 0xFACE

@@ -29,6 +29,10 @@ from zkevm_circuits_tpu.models import (
 from zkevm_circuits_tpu.ops import gf, queues
 from zkevm_circuits_tpu.utils import protocol
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-suite tier (see pyproject markers)
+
 
 def lq(aux, address=0x9999, key=1, rv=0, wv=0, rw=True, ts=1, rollback=False):
     return dict(

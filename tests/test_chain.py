@@ -10,6 +10,10 @@ from zkevm_circuits_tpu.models import vm
 from zkevm_circuits_tpu.ops import gf
 from zkevm_circuits_tpu.runtime import block2, chain
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-suite tier (see pyproject markers)
+
 enc = isa.encode_instruction
 
 

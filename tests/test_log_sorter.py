@@ -11,6 +11,10 @@ from zkevm_circuits_tpu.base_structures.log_query import (
 from zkevm_circuits_tpu.models import log_sorter as ls
 from zkevm_circuits_tpu.utils import protocol
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-suite tier (see pyproject markers)
+
 
 def ev(ts, key, val, rollback=False):
     return dict(

@@ -6,6 +6,10 @@ from zkevm_circuits_tpu.base_structures.vm_state import VmStateColumns
 from zkevm_circuits_tpu.isa import opcodes_legacy as isa
 from zkevm_circuits_tpu.models import main_vm as vm
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-suite tier (see pyproject markers)
+
 CFG = vm.MainVmConfig(limit=16)
 
 

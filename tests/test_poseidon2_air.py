@@ -18,6 +18,10 @@ from zkevm_circuits_tpu.ops import gf, queues
 from zkevm_circuits_tpu.prover import poseidon2_air as pa
 from zkevm_circuits_tpu.prover.stark import StarkParams
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-suite tier (see pyproject markers)
+
 PARAMS = StarkParams(log_n=5, log_blowup=2, num_queries=8, cap_log2=1)
 
 

@@ -16,6 +16,10 @@ from zkevm_circuits_tpu.models import log_sorter as ls
 from zkevm_circuits_tpu.models import sort_decommittment_requests as sd
 from zkevm_circuits_tpu.models import storage_validity as sv
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-suite tier (see pyproject markers)
+
 SEEDS = [11, 23, 57]
 LIMIT = 64
 

@@ -16,6 +16,10 @@ from zkevm_circuits_tpu.ops import gf
 from zkevm_circuits_tpu.prover import pipeline
 from zkevm_circuits_tpu.prover.stark import StarkParams
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-suite tier (see pyproject markers)
+
 
 def _fixture():
     unsorted = [

@@ -6,6 +6,10 @@ import jax.numpy as jnp
 from zkevm_circuits_tpu.base_structures.log_query import LogQueries
 from zkevm_circuits_tpu.models import storage_validity as sv
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-suite tier (see pyproject markers)
+
 
 def sq(addr, key, rv, wv, rw, rollback=False):
     return dict(

@@ -301,10 +301,19 @@ def vm_instance_windows(dw: dict, limit: int):
     state_idx = np.arange(n)[:, None] * limit + np.arange(limit + 1)[None, :]
     cyc_idx = state_idx[:, :-1]
     windows, axes = {}, {}
+    # Per-block constants are classified by NAME, not by leading dim: a
+    # constant column's shape can coincide with total/total+1 at small cycle
+    # counts (e.g. default_aa_code_hash (8,) when total=8) and must never be
+    # windowed with row indices.
+    const_keys = {
+        "block_rollback_tail", "default_aa_code_hash", "zkporter_available",
+    }
     for k, v in dw.items():
         shape = (v.lo if isinstance(v, gf.GF) else v).shape
         lead = int(shape[0]) if len(shape) else -1
-        if lead == total + 1:
+        if k in const_keys:
+            windows[k], axes[k] = v, None
+        elif lead == total + 1:
             windows[k], axes[k] = v[state_idx], 0
         elif lead == total:
             windows[k], axes[k] = v[cyc_idx], 0

@@ -32,17 +32,21 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Goldilocks prime and friends.
 MODULUS = 0xFFFFFFFF00000001  # 2^64 - 2^32 + 1
 EPSILON = 0xFFFFFFFF  # 2^64 - MODULUS = 2^32 - 1
-P_HI = jnp.uint32(0xFFFFFFFF)
-P_LO = jnp.uint32(0x00000001)
+_EPS = np.uint32(EPSILON)
+# numpy-scalar literals: fold into jaxprs as Literals (no const capture in
+# pallas kernels) yet fit u32 without x64 overflow checks
+P_HI = np.uint32(0xFFFFFFFF)
+P_LO = np.uint32(0x00000001)
 MULTIPLICATIVE_GENERATOR = 7
 TWO_ADICITY = 32
 
 _U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+_MASK16 = np.uint32(0xFFFF)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -207,7 +211,7 @@ def add(a: GF, b: GF) -> GF:
     lo, hi, carry = add64(a.lo, a.hi, b.lo, b.hi)
     # carry => result == a+b-2^64; adding EPSILON yields a+b-p (canonical,
     # cannot re-overflow since a+b < 2p).
-    lo_c = lo + jnp.uint32(EPSILON)  # == lo - 1 (mod 2^32)
+    lo_c = lo + _EPS  # == lo - 1 (mod 2^32)
     hi_c = hi + (lo != 0).astype(_U32)
     lo1 = jnp.where(carry.astype(bool), lo_c, lo)
     hi1 = jnp.where(carry.astype(bool), hi_c, hi)
@@ -219,9 +223,9 @@ def add(a: GF, b: GF) -> GF:
 def sub(a: GF, b: GF) -> GF:
     lo, hi, borrow = sub64(a.lo, a.hi, b.lo, b.hi)
     # borrow => wrapped value is a-b+2^64; subtracting EPSILON yields a-b+p.
-    lo_b = lo - jnp.uint32(EPSILON)  # == lo + 1 (mod 2^32)
-    # lo - EPSILON borrows iff lo < EPSILON (i.e. lo != 0xFFFFFFFF)
-    hi_b = hi - (lo < jnp.uint32(EPSILON)).astype(_U32)
+    lo_b = lo - _EPS  # == lo + 1 (mod 2^32)
+    # lo - _EPS borrows iff lo < _EPS (i.e. lo != 0xFFFFFFFF)
+    hi_b = hi - (lo < _EPS).astype(_U32)
     lo1 = jnp.where(borrow.astype(bool), lo_b, lo)
     hi1 = jnp.where(borrow.astype(bool), hi_b, hi)
     return GF(lo1, hi1)
@@ -236,14 +240,14 @@ def add_lazy(a: GF, b: GF) -> GF:
     lo, hi, c1 = add64(a.lo, a.hi, b.lo, b.hi)
     wrapped = c1.astype(bool)
     # first EPSILON adjustment
-    alo = lo + jnp.uint32(EPSILON)
+    alo = lo + _EPS
     ahi = hi + (lo != 0).astype(_U32)
     # did the adjustment itself wrap?  (ahi, alo) < (hi, lo) as u64
     w2 = wrapped & ((ahi < hi) | ((ahi == hi) & (alo < lo)))
     lo1 = jnp.where(wrapped, alo, lo)
     hi1 = jnp.where(wrapped, ahi, hi)
     # second adjustment cannot wrap again
-    blo = lo1 + jnp.uint32(EPSILON)
+    blo = lo1 + _EPS
     bhi = hi1 + (lo1 != 0).astype(_U32)
     lo2 = jnp.where(w2, blo, lo1)
     hi2 = jnp.where(w2, bhi, hi1)
@@ -276,15 +280,15 @@ def mul_lazy(a: GF, b: GF) -> GF:
 def _reduce128_lazy(x0, x1, x2, x3) -> GF:
     """reduce128 without the final canonicalizing subtract."""
     t0lo, t0hi, borrow = sub64(x0, x1, x3, jnp.zeros_like(x3))
-    blo = t0lo - jnp.uint32(EPSILON)
-    bhi = t0hi - (t0lo < jnp.uint32(EPSILON)).astype(_U32)
+    blo = t0lo - _EPS
+    bhi = t0hi - (t0lo < _EPS).astype(_U32)
     t0lo = jnp.where(borrow.astype(bool), blo, t0lo)
     t0hi = jnp.where(borrow.astype(bool), bhi, t0hi)
     nz = (x2 != 0).astype(_U32)
-    t1lo = jnp.uint32(0) - x2
+    t1lo = (0 - x2).astype(_U32)
     t1hi = x2 - nz
     lo, hi, carry = add64(t0lo, t0hi, t1lo, t1hi)
-    lo_c = lo + jnp.uint32(EPSILON)
+    lo_c = lo + _EPS
     hi_c = hi + (lo != 0).astype(_U32)
     lo = jnp.where(carry.astype(bool), lo_c, lo)
     hi = jnp.where(carry.astype(bool), hi_c, hi)
@@ -312,17 +316,17 @@ def _reduce128(x0, x1, x2, x3) -> GF:
     # t0 = n0 - x3 (borrow => subtract EPSILON, i.e. add p then drop 2^64)
     t0lo, t0hi, borrow = sub64(x0, x1, x3, jnp.zeros_like(x3))
     # subtracting EPSILON from (t0lo, t0hi):
-    blo = t0lo - jnp.uint32(EPSILON)
-    bhi = t0hi - (t0lo < jnp.uint32(EPSILON)).astype(_U32)
+    blo = t0lo - _EPS
+    bhi = t0hi - (t0lo < _EPS).astype(_U32)
     t0lo = jnp.where(borrow.astype(bool), blo, t0lo)
     t0hi = jnp.where(borrow.astype(bool), bhi, t0hi)
     # t1 = x2 * (2^32 - 1) = (x2 << 32) - x2
     nz = (x2 != 0).astype(_U32)
-    t1lo = jnp.uint32(0) - x2  # 2^32 - x2 (or 0)
+    t1lo = (0 - x2).astype(_U32)  # 2^32 - x2 (or 0)
     t1hi = x2 - nz
     # t2 = t0 + t1; on carry, add EPSILON (wraps at most once)
     lo, hi, carry = add64(t0lo, t0hi, t1lo, t1hi)
-    lo_c = lo + jnp.uint32(EPSILON)
+    lo_c = lo + _EPS
     hi_c = hi + (lo != 0).astype(_U32)
     lo = jnp.where(carry.astype(bool), lo_c, lo)
     hi = jnp.where(carry.astype(bool), hi_c, hi)
@@ -398,9 +402,34 @@ def pow_const(a: GF, e: int) -> GF:
     return result
 
 
+_P_MINUS_2_BITS = [(MODULUS - 2) >> i & 1 for i in range(64)]
+
+
+def _inv_impl(a: GF) -> GF:
+    """a^(p-2) via square-and-multiply under lax.scan: ONE round body in
+    the compiled graph instead of an unrolled ~95-mul chain (XLA:CPU
+    compile time is pathologically superlinear in unrolled sequential
+    chains, and eager dispatch over a remote device tunnel pays per-op
+    latency ~3000 times)."""
+    bits = jnp.asarray(np.array(_P_MINUS_2_BITS, dtype=np.uint32))
+
+    def body(carry, bit):
+        result, base = carry
+        nr = select(bit == 1, mul(result, base), result)
+        return (nr, square(base)), None
+
+    (r, _), _ = jax.lax.scan(body, (ones(a.shape), a), bits)
+    return r
+
+
+_inv_jit = jax.jit(_inv_impl)
+
+
 def inv(a: GF) -> GF:
     """Batched field inverse via Fermat: a^(p-2). inv(0) = 0 by convention."""
-    return pow_const(a, MODULUS - 2)
+    if isinstance(a.lo, jax.core.Tracer) or isinstance(a.hi, jax.core.Tracer):
+        return _inv_impl(a)
+    return _inv_jit(a)
 
 
 def equal(a: GF, b: GF) -> jnp.ndarray:

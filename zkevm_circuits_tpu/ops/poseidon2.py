@@ -166,21 +166,50 @@ _permutation_flat_jit = jax.jit(_permutation_impl)
 # else's jit/vmap/scan) take the plain path — their shapes are static.
 _MIN_BUCKET_LOG2 = 7
 
+# Large batches on a real TPU route to the fused Pallas kernel
+# (ops/poseidon2_pallas.py): all 30 rounds run out of VMEM with one HBM
+# read/write per element, where the lax.scan path round-trips the state
+# through HBM every round.  Threshold = one kernel tile; smaller batches
+# aren't worth the pad.  ZKTPU_NO_PALLAS=1 disables (fallback knob).
+_PALLAS_MIN_BATCH = 512
+
+
+def _pallas_enabled() -> bool:
+    import os
+
+    if os.environ.get("ZKTPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # backend probing must never break the portable path
+        return False
+
+
+def _flat_batch(state: GF) -> int:
+    n = 1
+    for d in state.shape[:-1]:
+        n *= int(d)
+    return n
+
 
 def permutation(state: GF) -> GF:
     """Poseidon2 permutation; `state` has trailing axis 12 (any batch dims).
 
-    Eager calls are batch-bucketed (padded to a power of two) so repeated
-    differently-shaped calls share compiled executables; traced calls
-    compile inline as before."""
+    On TPU, batches >= _PALLAS_MIN_BATCH dispatch to the fused Pallas kernel
+    (identical round math, golden-pinned by tests/test_poseidon2_pallas.py).
+    Eager calls elsewhere are batch-bucketed (padded to a power of two) so
+    repeated differently-shaped calls share compiled executables; traced
+    calls compile inline as before."""
+    if _pallas_enabled() and _flat_batch(state) >= _PALLAS_MIN_BATCH:
+        from .poseidon2_pallas import permutation_pallas
+
+        return permutation_pallas(state)
     if isinstance(state.lo, jax.core.Tracer) or isinstance(
         state.hi, jax.core.Tracer
     ):
         return _permutation_impl(state)
     batch = state.shape[:-1]
-    flat = 1
-    for d in batch:
-        flat *= int(d)
+    flat = _flat_batch(state)
     bucket = max(1 << _MIN_BUCKET_LOG2, 1 << max(0, (flat - 1).bit_length()))
     st = state.reshape((flat, WIDTH))
     if bucket != flat:

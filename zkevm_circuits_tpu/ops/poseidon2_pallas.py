@@ -86,18 +86,16 @@ _INT_LO, _INT_HI = _np_const_pair(p2.INT_RC)      # (22,)
 _MU_LO, _MU_HI = _np_const_pair(p2._MU_MINUS_1)   # (12,)
 
 
-def _kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+def _kernel(lo_ref, hi_ref, elo_ref, ehi_ref, ilo_ref, ihi_ref,
+            mlo_ref, mhi_ref, out_lo_ref, out_hi_ref):
+    """Round constants arrive as kernel OPERANDS (pallas on real TPU rejects
+    captured consts; interpret mode silently allowed them — r2 latent bug)."""
     state = GF(lo_ref[:], hi_ref[:])  # (12, T)
-    T = state.shape[-1]
     half = p2.R_FULL // 2
+    mu = GF(mlo_ref[:], mhi_ref[:])  # (12, 1)
 
-    # round constants become kernel-embedded VMEM constants
     def rc_row(r):  # (12, 1) broadcastable against (12, T)
-        return GF(
-            jnp.asarray(_EXT_LO[r][:, None]), jnp.asarray(_EXT_HI[r][:, None])
-        )
-
-    mu = GF(jnp.asarray(_MU_LO[:, None]), jnp.asarray(_MU_HI[:, None]))
+        return GF(elo_ref[r][:, None], ehi_ref[r][:, None])
 
     def full_round(st, r):
         st = _ladd(st, rc_row(r))
@@ -105,7 +103,7 @@ def _kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref):
         return _ext_matrix_lane0(st)
 
     def partial_round(st, r):
-        rc = GF(jnp.asarray(_INT_LO[r]), jnp.asarray(_INT_HI[r]))
+        rc = GF(ilo_ref[r, 0], ihi_ref[r, 0])
         lane0 = p2._sbox(_ladd(st[0], rc))
         st = gf.concat([gf.expand_dims(lane0, 0), st[1:]], axis=0)
         return _int_matrix_lane0(st, mu)
@@ -131,6 +129,12 @@ def _permutation_lane0(lo, hi, tile: int = 512, interpret: bool = False):
     N = lo.shape[1]
     grid = (N // tile,)
     spec = pl.BlockSpec((12, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
     out_shape = [
         jax.ShapeDtypeStruct((12, N), jnp.uint32),
         jax.ShapeDtypeStruct((12, N), jnp.uint32),
@@ -138,11 +142,17 @@ def _permutation_lane0(lo, hi, tile: int = 512, interpret: bool = False):
     out_lo, out_hi = pl.pallas_call(
         _kernel,
         grid=grid,
-        in_specs=[spec, spec],
+        in_specs=[spec, spec,
+                  const_spec((8, 12)), const_spec((8, 12)),
+                  const_spec((22, 1)), const_spec((22, 1)),
+                  const_spec((12, 1)), const_spec((12, 1))],
         out_specs=[spec, spec],
         out_shape=out_shape,
         interpret=interpret,
-    )(lo, hi)
+    )(lo, hi,
+      jnp.asarray(_EXT_LO), jnp.asarray(_EXT_HI),
+      jnp.asarray(_INT_LO[:, None]), jnp.asarray(_INT_HI[:, None]),
+      jnp.asarray(_MU_LO[:, None]), jnp.asarray(_MU_HI[:, None]))
     return out_lo, out_hi
 
 

@@ -365,11 +365,13 @@ def verify_compact_commitment(proof: StarkProof, encoding_u64: np.ndarray,
     final_state = np.asarray(final_state_u64, np.uint64)
     if final_state.shape != (12,):
         return False
+    commitment = np.asarray(commitment_u64, np.uint64)
+    if commitment.shape != (4,):
+        # a scalar / length-1 claim would broadcast in the equality below
+        return False
     ok = pa.verify_queue_chain(proof, chunks, init, final_state, pa.FULL,
                                params)
-    return bool(ok) and bool(
-        (np.asarray(commitment_u64, np.uint64) == final_state[:4]).all()
-    )
+    return bool(ok) and bool((commitment == final_state[:4]).all())
 
 
 def prove_instance_commitments(compact_forms) -> Tuple[bool, list]:

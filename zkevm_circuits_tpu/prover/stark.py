@@ -94,6 +94,13 @@ class AirSpec:
     num_public: int = 0
     num_phase2_cols: int = 0
     num_challenges: int = 0
+    # Preprocessed ("fixed") columns: VERIFIER-KNOWN table data (e.g. the
+    # VM decode table for the logUp lookup argument) committed as their own
+    # column group.  The verifier receives the plaintext fixed columns and
+    # recomputes their LDE+Merkle cap, so the proof is bound to THE table,
+    # not a prover-chosen one (the role of boojum's precomputed setup tree).
+    # Constraint row-views are ordered [fixed | phase1 | phase2].
+    num_fixed_cols: int = 0
     # Optional scan-structured replacement for `row_constraints`:
     #   compose_row(cur, ch, alpha, a_pow) -> (alpha-weighted sum, a_pow')
     # For AIRs with hundreds of repeated per-round constraints (e.g. the
@@ -106,7 +113,7 @@ class AirSpec:
 
     @property
     def total_cols(self) -> int:
-        return self.num_cols + self.num_phase2_cols
+        return self.num_fixed_cols + self.num_cols + self.num_phase2_cols
 
 
 @dataclasses.dataclass(frozen=True)
@@ -224,11 +231,32 @@ def _alpha_powers(alpha: GF, k: int) -> GF:
 def _alpha_sum(vals: List[GF], alpha: GF, a_pow: GF):
     """sum_k alpha^k * a_pow * vals[k]; returns (acc or None, next a_pow).
 
-    Stack + scan-powers + log-depth tree dot — NO unrolled mul chains."""
+    Stack + scan-powers + log-depth tree dot — NO unrolled mul chains.
+
+    Each list element is either a single constraint value with the batch
+    shape, or a VECTORIZED GROUP of constraints with one extra leading axis
+    (shape (g, *batch) — e.g. all 120 register-limb residuals as one
+    tensor).  Groups are flattened in order; every scalar constraint in a
+    group gets its own alpha power, so AIRs can vectorize hot constraint
+    families without changing the combination the verifier reproduces."""
     if not vals:
         return None, a_pow
-    k = len(vals)
-    stacked = gf.stack([gf.canonicalize(v) for v in vals], axis=0)  # (k, batch)
+    batch_ndim = 1  # rows are (batch, m) on both prover and verifier paths
+    norm = []
+    for v in vals:
+        v = gf.canonicalize(v)
+        if len(v.shape) == batch_ndim:
+            v = gf.expand_dims(v, 0)
+        elif len(v.shape) == batch_ndim + 1:
+            pass
+        else:  # (g1, g2, *batch) — flatten the leading axes
+            lead = 1
+            for d in v.shape[: len(v.shape) - batch_ndim]:
+                lead *= int(d)
+            v = v.reshape((lead,) + v.shape[len(v.shape) - batch_ndim :])
+        norm.append(v)
+    stacked = gf.concat(norm, axis=0)  # (k, *batch)
+    k = int(stacked.shape[0])
     pows = _alpha_powers(alpha, k)                                   # (k,)
     w = gf.mul(pows, a_pow)
     while len(w.shape) < len(stacked.shape):
@@ -297,11 +325,13 @@ def _alpha_gf(alpha: int) -> GF:
     return gf.from_u64(np.uint64(alpha))
 
 
-def challenges_from_cap(cap1: GF, air: AirSpec):
-    """The challenge round: ch = FS(cap_1) BEFORE the public vector is
-    absorbed — public values may themselves be challenge-dependent (e.g.
-    the message-RLC binding of poseidon2_air); alpha still binds them."""
+def challenges_from_cap(cap1: GF, air: AirSpec, fixed_cap: Optional[GF] = None):
+    """The challenge round: ch = FS([fixed_cap,] cap_1) BEFORE the public
+    vector is absorbed — public values may themselves be challenge-dependent
+    (e.g. the message-RLC binding of poseidon2_air); alpha still binds them."""
     tr = Transcript()
+    if fixed_cap is not None:
+        tr.absorb(fixed_cap)
     tr.absorb(cap1)
     ch = tuple(
         int(np.asarray(tr.challenge_ext().c0.astype_u64()))
@@ -333,26 +363,37 @@ def _commit_columns(cols: GF, params: StarkParams):
 
 def prove(trace: GF, air: AirSpec, params: StarkParams,
           public: Optional[GF] = None,
-          build_phase2: Optional[Callable] = None) -> StarkProof:
+          build_phase2: Optional[Callable] = None,
+          fixed_cols: Optional[GF] = None) -> StarkProof:
     """`build_phase2(trace, ch_ints) -> (num_phase2_cols, n) GF` builds the
-    challenge-derived columns (required iff air.num_phase2_cols > 0)."""
+    challenge-derived columns (required iff air.num_phase2_cols > 0); its
+    `trace` argument is the concatenation [fixed | phase1] when the AIR has
+    fixed columns.  `fixed_cols` (num_fixed_cols, n) is the verifier-known
+    preprocessed data (required iff air.num_fixed_cols > 0)."""
     n = 1 << params.log_n
     assert trace.shape == (air.num_cols, n)
     assert (1 << params.log_blowup) >= air.max_degree
 
-    trees = [_commit_columns(trace, params)]
-    ch, tr = challenges_from_cap(trees[0]["cap"], air)
+    trees = []
+    fixed_cap = None
+    if air.num_fixed_cols:
+        assert fixed_cols is not None and fixed_cols.shape == (
+            air.num_fixed_cols, n)
+        trees.append(_commit_columns(fixed_cols, params))
+        fixed_cap = trees[0]["cap"]
+    trees.append(_commit_columns(trace, params))
+    ch, tr = challenges_from_cap(trees[-1]["cap"], air, fixed_cap)
     _absorb_public(tr, public, air)
 
     if air.num_phase2_cols:
         assert build_phase2 is not None
-        t2 = build_phase2(trace, ch)
+        p2_input = (gf.concat([fixed_cols, trace], axis=0)
+                    if air.num_fixed_cols else trace)
+        t2 = build_phase2(p2_input, ch)
         assert t2.shape == (air.num_phase2_cols, n)
         trees.append(_commit_columns(t2, params))
-        tr.absorb(trees[1]["cap"])
-        lde_all = gf.concat([trees[0]["lde"], trees[1]["lde"]], axis=0)
-    else:
-        lde_all = trees[0]["lde"]
+        tr.absorb(trees[-1]["cap"])
+    lde_all = gf.concat([t["lde"] for t in trees], axis=0)
 
     alpha = int(np.asarray(tr.challenge_ext().c0.astype_u64()))
     quotient = _compose_domain(lde_all, air, alpha, params, public, ch)
@@ -384,28 +425,41 @@ _TAGS = ("cur", "nxt", "cur_pair", "nxt_pair")
 
 
 def verify(proof: StarkProof, air: AirSpec, params: StarkParams,
-           public: Optional[GF] = None) -> bool:
+           public: Optional[GF] = None,
+           fixed_cols: Optional[GF] = None) -> bool:
     import jax.numpy as jnp
 
     n = 1 << params.log_n
     blowup = 1 << params.log_blowup
     N = n * blowup
     Q = params.num_queries
-    n_trees = 2 if air.num_phase2_cols else 1
+    has_fixed = 1 if air.num_fixed_cols else 0
+    n_trees = has_fixed + 1 + (1 if air.num_phase2_cols else 0)
     if len(proof.caps) != n_trees or len(proof.trace_openings) != Q:
         return False
     if air.num_public and (public is None or public.shape != (air.num_public,)):
         return False
-    ch, tr = challenges_from_cap(proof.caps[0], air)
+    fixed_cap = None
+    if air.num_fixed_cols:
+        # the fixed-column cap is part of the verifying key: recompute it
+        # from the verifier-known plaintext table and demand equality
+        if fixed_cols is None or fixed_cols.shape != (air.num_fixed_cols, n):
+            return False
+        want_cap = _commit_columns(fixed_cols, params)["cap"]
+        if not bool(np.asarray(gf.equal(want_cap, proof.caps[0])).all()):
+            return False
+        fixed_cap = proof.caps[0]
+    ch, tr = challenges_from_cap(proof.caps[has_fixed], air, fixed_cap)
     _absorb_public(tr, public, air)
     if air.num_phase2_cols:
-        tr.absorb(proof.caps[1])
+        tr.absorb(proof.caps[-1])
     alpha = int(np.asarray(tr.challenge_ext().c0.astype_u64()))
 
     if not fri.verify(proof.fri_proof, _fri_params(air, params)):
         return False
 
-    widths = [air.num_cols] + ([air.num_phase2_cols] if n_trees == 2 else [])
+    widths = ([air.num_fixed_cols] if has_fixed else []) + [air.num_cols] + (
+        [air.num_phase2_cols] if air.num_phase2_cols else [])
 
     # gather all openings: indices must match the FRI query schedule, shapes
     # must match the column groups

@@ -1,0 +1,1386 @@
+"""main_vm committed-trace STARK (the flagship circuit stops being
+evaluator-only).
+
+Reference parity: the reference pins the VM to a committed trace (140
+copy-permutation columns, degree 8 — `src/main_vm/cycle.rs:959-966`) whose
+satisfaction IS the proof.  This module materializes the framework's VM
+witness (models/vm/sim.py) into committed Goldilocks columns — one row per
+cycle, state-before-cycle plus per-cycle witness — and proves a core subset
+of the cycle relation (`src/main_vm/cycle.rs:28-795`,
+`pre_state.rs:71-519`, `decoded_opcode.rs:42-220`) with the two-phase
+coset-quotient STARK (prover/stark.py), routing every decode-table access
+through the in-trace logUp lookup argument (prover/logup.py's identity; ref
+`decoded_opcode.rs:233` perform_lookup).
+
+AIR-PROVEN in v1 (each mirrors models/vm/circuit.py, cited inline):
+  * skip/pending prestate resolution, NOP/PANIC masking (pre_state.rs:88+)
+  * raw-opcode byte-select from the selected code word by sub-pc
+  * decode: word split, opcode -> (price, props) via logUp vs the REAL 2^11
+    table, condition resolution via logUp vs the 64-row conditional table,
+    the 51-bit property bitspread (opcode_bitmask.rs:24-48)
+  * fast exceptions: out-of-ergs (proven u32 compare), kernel/static mode,
+    callstack-full; the panic/nop property-mask swap (decoded_opcode.rs:78+)
+  * register-file writeback: one-hot dst selection bound to the decoded
+    index, preservation of unwritten registers (cycle.rs:320-433)
+  * src operand binding for register/imm addressing modes (incl. swap)
+  * ADD/SUB 8-limb u32 carry-chain relation + OF/EQ/GT flags
+    (opcodes/add_sub.rs; cycle.rs:632-668)
+  * pc (sequential/jump/near_call/far_call), ts, callstack depth, ergs
+    charge, kernel/static/code-page/base-page continuity
+  * u16/u8 range checks via a shared byte table (logUp)
+  * boundary state binding: publics = challenge-RLC of the full state
+    column set at the first and last row (the instance's FSM input/output)
+
+EVALUATOR-CHECKED still (documented gaps; the row-parallel evaluator
+`models/vm/circuit.py` remains the completeness checker for these):
+memory/storage/log queue sponge binding (covered separately by the
+Poseidon2 chain STARKs), UMA/log/far_call/ret/mul/div/shift/binop value
+semantics, stack-addressed operands, pointer erasure on pointer-valued
+sources, callstack sponge contents, sp evolution.  Each omitted relation is
+masked by opcode-family selectors so the proven constraints NEVER vacuously
+pass on covered families.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..isa import opcodes as isa
+from ..isa import system_params as sp
+from ..ops import gf
+from ..ops.gf import GF
+from .stark import (AirSpec, StarkParams, StarkProof, challenges_from_cap,
+                    prove, verify)
+
+_MASK48 = (1 << 48) - 1
+_NOP_SPREAD = isa.NOP_BITSPREAD & _MASK48
+_PANIC_SPREAD = isa.PANIC_BITSPREAD & _MASK48
+_NOP_ENC = isa.NOP_ENCODING
+_PANIC_ENC = isa.PANIC_ENCODING
+_N_PB = 51  # property bitspread width (48 description + 3 aux)
+_MAX_DEPTH = sp.VM_MAX_STACK_DEPTH
+
+
+# ---------------------------------------------------------------------------
+# column registry
+# ---------------------------------------------------------------------------
+
+
+class _Reg:
+    def __init__(self):
+        self.names: List[Tuple[str, int]] = []
+        self.index: Dict[str, Tuple[int, int]] = {}
+        self.n = 0
+
+    def add(self, name: str, k: int = 1) -> None:
+        self.index[name] = (self.n, k)
+        self.names.append((name, k))
+        self.n += k
+
+    def sl(self, name: str) -> slice:
+        s, k = self.index[name]
+        return slice(s, s + k)
+
+    def at(self, name: str, j: int = 0) -> int:
+        s, k = self.index[name]
+        assert 0 <= j < k
+        return s + j
+
+
+@functools.lru_cache(maxsize=1)
+def layout() -> Tuple[_Reg, _Reg, _Reg, List[str]]:
+    """(fixed, phase1, phase2, state_col_names)."""
+    fx = _Reg()
+    fx.add("t_dec_vi"); fx.add("t_dec_price"); fx.add("t_dec_props")
+    fx.add("t_cond_c"); fx.add("t_cond_f"); fx.add("t_cond_r")
+    fx.add("t_byte")
+
+    p1 = _Reg()
+    # ---- state (before cycle); the boundary-RLC public binds this set ----
+    state = ["depth", "pc", "sp", "ergs", "ts", "f_of", "f_eq", "f_gt",
+             "pending", "is_kernel", "is_static", "code_page", "base_page",
+             "prev_code_page", "prev_super_pc"]
+    for s in state:
+        p1.add(s)
+    p1.add("prev_code_word", 8)
+    p1.add("regs", 120)      # 15 registers x 8 u32 limbs
+    p1.add("regs_ptr", 15)
+    state_names = state + ["prev_code_word", "regs", "regs_ptr"]
+    # ---- per-cycle witness ----
+    p1.add("depth_inv"); p1.add("skip"); p1.add("ep"); p1.add("normal")
+    p1.add("eq_page"); p1.add("eq_page_inv")
+    p1.add("eq_spc"); p1.add("eq_spc_inv")
+    p1.add("sro")
+    p1.add("cw_sel", 8)
+    p1.add("pcb0"); p1.add("pcb1"); p1.add("spc")
+    p1.add("spc_b", 2)
+    p1.add("subpc_oh", 4)
+    p1.add("raw_lo"); p1.add("raw_hi")
+    p1.add("variant_idx"); p1.add("gap0"); p1.add("gap1"); p1.add("cond")
+    p1.add("e_src0"); p1.add("e_src1"); p1.add("e_dst0"); p1.add("e_dst1")
+    p1.add("enc_bits", 16)
+    p1.add("imm0"); p1.add("imm0_b", 2)
+    p1.add("imm1"); p1.add("imm1_b", 2)
+    p1.add("price"); p1.add("props"); p1.add("pb", _N_PB)
+    p1.add("cond_ok")
+    p1.add("oo"); p1.add("ediff"); p1.add("ediff_b", 4)
+    p1.add("kernel_exc"); p1.add("static_exc")
+    p1.add("cs_full"); p1.add("csf_inv")
+    p1.add("p1"); p1.add("p2"); p1.add("p3")
+    p1.add("mask_panic"); p1.add("mask_nop")
+    p1.add("et", 16); p1.add("ev", 10); p1.add("ef", 2)
+    p1.add("es", 6); p1.add("ed", 4)
+    p1.add("swap")
+    p1.add("sel0", 15); p1.add("sel1", 15)
+    p1.add("wsel0", 15); p1.add("wsel1", 15)
+    p1.add("nz0"); p1.add("inv0"); p1.add("nz1"); p1.add("inv1")
+    p1.add("nzw0"); p1.add("invw0"); p1.add("nzw1"); p1.add("invw1")
+    p1.add("ew0"); p1.add("ew1")  # committed effective write indices
+    p1.add("regread0", 8); p1.add("regread1", 8)
+    p1.add("rr0_ptr"); p1.add("rr1_ptr")
+    p1.add("src0_val", 8); p1.add("src1_val", 8)
+    p1.add("s0p"); p1.add("s1p")
+    p1.add("bind_s0"); p1.add("bind_s0_sw")
+    p1.add("bind_s1"); p1.add("bind_s1_sw")
+    p1.add("dst0_val", 8); p1.add("dst0_b", 32); p1.add("d0ptr")
+    p1.add("dst1_val", 8); p1.add("d1ptr")
+    p1.add("carry", 8)
+    p1.add("as_eq"); p1.add("as_sum_inv"); p1.add("as_gt")
+    p1.add("upd_flags")
+    p1.add("dst0_reg_write"); p1.add("dst1_reg_write")
+    p1.add("ret_pc")
+    p1.add("j_lo16"); p1.add("j_hi16"); p1.add("j_b", 4)
+    p1.add("pc_wrap")
+    p1.add("m_decode"); p1.add("m_cond"); p1.add("m_byte")
+
+    p2 = _Reg()
+    p2.add("inv_qd"); p2.add("inv_td")
+    p2.add("inv_qc"); p2.add("inv_tc")
+    p2.add("inv_qb", len(_byte_query_names()))
+    p2.add("inv_tb")
+    p2.add("acc")
+    return fx, p1, p2, state_names
+
+
+def _byte_query_names() -> List[Tuple[str, int]]:
+    """(phase1 column name, lane) pairs range-checked against the byte
+    table — every committed u8 decomposition limb."""
+    out = []
+    out += [("dst0_b", j) for j in range(32)]
+    out += [("ediff_b", j) for j in range(4)]
+    out += [("imm0_b", j) for j in range(2)]
+    out += [("imm1_b", j) for j in range(2)]
+    out += [("spc_b", j) for j in range(2)]
+    out += [("j_b", j) for j in range(4)]
+    return out
+
+
+_BOOL_COLS = [
+    "skip", "ep", "normal", "eq_page", "eq_spc", "sro", "pcb0", "pcb1",
+    "cond_ok", "oo", "kernel_exc", "static_exc", "cs_full", "p1", "p2",
+    "p3", "mask_panic", "mask_nop", "swap", "nz0", "nz1", "nzw0", "nzw1",
+    "rr0_ptr", "rr1_ptr", "s0p", "s1p", "bind_s0", "bind_s0_sw", "bind_s1",
+    "bind_s1_sw", "d0ptr", "d1ptr", "as_eq", "as_gt", "upd_flags",
+    "dst0_reg_write", "dst1_reg_write", "pc_wrap",
+    # boolean-valued state columns
+    "f_of", "f_eq", "f_gt", "pending", "is_kernel", "is_static",
+]
+_BOOL_COLS += ["gap0", "gap1"]
+_BOOL_SPANS = ["subpc_oh", "enc_bits", "pb", "et", "ev", "ef", "es", "ed",
+               "sel0", "sel1", "wsel0", "wsel1", "carry"]
+
+
+# ---------------------------------------------------------------------------
+# fixed tables
+# ---------------------------------------------------------------------------
+
+
+def fixed_tables(n: int) -> GF:
+    """The verifier-known preprocessed columns at trace length n."""
+    fx = layout()[0]
+    cols = np.zeros((fx.n, n), np.uint64)
+    T = 1 << isa.OPCODES_TABLE_WIDTH
+    assert n >= T, f"trace length {n} < decode table size {T}"
+    cols[fx.at("t_dec_vi"), :T] = np.arange(T, dtype=np.uint64)
+    cols[fx.at("t_dec_price"), :T] = isa.OPCODES_PRICES.astype(np.uint64)
+    cols[fx.at("t_dec_props"), :T] = (
+        isa.OPCODES_PROPS_INTEGER_BITMASKS.astype(np.uint64)
+    )
+    # conditional-resolution table in the ISA's condition order
+    # (tables/conditional.rs:16-58 semantics via isa.condition_resolves)
+    k = 0
+    for cnd in range(8):
+        for f in range(8):
+            cols[fx.at("t_cond_c"), k] = cnd
+            cols[fx.at("t_cond_f"), k] = f
+            cols[fx.at("t_cond_r"), k] = int(
+                isa.condition_resolves(cnd, bool(f & 1), bool(f & 2),
+                                       bool(f & 4))
+            )
+            k += 1
+    cols[fx.at("t_byte"), :256] = np.arange(256, dtype=np.uint64)
+    return gf.from_u64(cols)
+
+
+# ---------------------------------------------------------------------------
+# trace builder (host, numpy — mirrors models/vm/circuit.py semantics)
+# ---------------------------------------------------------------------------
+
+
+def _np_w(w: dict, k: str) -> np.ndarray:
+    return np.asarray(w[k])
+
+
+def _sub_mod(a: np.ndarray, b) -> np.ndarray:
+    """(a - b) mod p for u64 inputs < p (numpy's u64 wrap is mod 2^64, NOT
+    mod p — using it silently corrupts every negative difference)."""
+    a = np.asarray(a, np.uint64)
+    b = np.asarray(b, np.uint64) * np.ones_like(a)
+    return np.where(a >= b, a - b, np.uint64(gf.MODULUS) - (b - a))
+
+
+def _inv_or_zero(x: np.ndarray) -> np.ndarray:
+    """Field inverse elementwise (0 -> 0), host side."""
+    out = np.zeros_like(x, dtype=np.uint64)
+    for i, v in enumerate(np.asarray(x, np.uint64).reshape(-1)):
+        out.reshape(-1)[i] = pow(int(v), gf.MODULUS - 2, gf.MODULUS) if v else 0
+    return out
+
+
+def vm_core_trace(w: dict, limit: int) -> Tuple[GF, GF, int]:
+    """(phase1 (C,n) GF, fixed (F,n) GF, log_n) from a host VM witness.
+
+    Rows beyond the witness's cycle count replicate the final state with
+    skip semantics (depth==0 after a clean exit), so every transition
+    constraint holds on padding rows by the same rules."""
+    fx, p1, _, state_names = layout()
+    total = int(np.asarray(w["ts"]).shape[0]) - 1
+    need = max(total + 1, 1 << isa.OPCODES_TABLE_WIDTH)
+    n = 1 << (need - 1).bit_length()
+
+    C = np.zeros((p1.n, n), np.uint64)
+
+    def put(name, vals, lane=None):
+        s, k = p1.index[name]
+        vals = np.asarray(vals)
+        if lane is None and k == 1:
+            C[s, :total] = vals[:total].astype(np.uint64)
+        elif lane is None:
+            C[s : s + k, :total] = (
+                vals[:total].astype(np.uint64).reshape(total, k).T
+            )
+        else:
+            C[s + lane, :total] = vals[:total].astype(np.uint64)
+
+    # ---- state columns (rows 0..total-1 = before-cycle states) ----
+    smap = dict(depth="cs_depth", pc="ctx_pc", sp="ctx_sp", ergs="ctx_ergs",
+                ts="ts", f_of="f_of", f_eq="f_eq", f_gt="f_gt",
+                pending="pending_exc", is_kernel="ctx_is_kernel",
+                is_static="ctx_is_static", code_page="ctx_code_page",
+                base_page="ctx_base_page", prev_code_page="prev_code_page",
+                prev_super_pc="prev_super_pc")
+    for col, key in smap.items():
+        put(col, _np_w(w, key)[:-1])
+    put("prev_code_word", _np_w(w, "prev_code_word")[:-1])
+    regs = _np_w(w, "regs")[:-1].astype(np.uint64)  # (total, 15, 8)
+    C[p1.sl("regs"), :total] = regs.reshape(total, 120).T
+    C[p1.sl("regs_ptr"), :total] = (
+        _np_w(w, "regs_ptr")[:-1].astype(np.uint64).T
+    )
+
+    # padding rows: replicate the FINAL state (after-cycle state of the
+    # last row), with NOP/skip per-cycle values
+    final = {}
+    for col, key in smap.items():
+        final[col] = int(np.asarray(w[key])[total])
+    st_slices = {nm: p1.sl(nm) for nm, _ in p1.names}
+    for col in smap:
+        C[p1.at(col), total:] = final[col]
+    C[st_slices["prev_code_word"], total:] = (
+        _np_w(w, "prev_code_word")[total].astype(np.uint64)[:, None]
+    )
+    C[st_slices["regs"], total:] = (
+        _np_w(w, "regs")[total].astype(np.uint64).reshape(120)[:, None]
+    )
+    C[st_slices["regs_ptr"], total:] = (
+        _np_w(w, "regs_ptr")[total].astype(np.uint64)[:, None]
+    )
+
+    # ---- per-cycle derivation (vectorized numpy; padding handled after) --
+    depth = C[p1.at("depth")]
+    pc = C[p1.at("pc")]
+    ergs = C[p1.at("ergs")]
+    pending = C[p1.at("pending")]
+    skip = (depth == 0).astype(np.uint64)
+    ep = (pending.astype(bool) & ~skip.astype(bool)).astype(np.uint64)
+    normal = ((1 - skip) * (1 - pending)).astype(np.uint64)
+    C[p1.at("depth_inv")] = _inv_or_zero(depth)
+    C[p1.at("skip")] = skip
+    C[p1.at("ep")] = ep
+    C[p1.at("normal")] = normal
+
+    spc = pc // 4
+    sub_pc = pc % 4
+    C[p1.at("pcb0")] = pc % 2
+    C[p1.at("pcb1")] = (pc // 2) % 2
+    C[p1.at("spc")] = spc
+    C[p1.at("spc_b")] = spc % 256
+    C[p1.at("spc_b") + 1] = spc // 256
+    for k in range(4):
+        C[p1.at("subpc_oh", k)] = (sub_pc == k).astype(np.uint64)
+
+    dpage = _sub_mod(C[p1.at("prev_code_page")], C[p1.at("code_page")])
+    eq_page = (dpage == 0).astype(np.uint64)
+    C[p1.at("eq_page")] = eq_page
+    C[p1.at("eq_page_inv")] = _inv_or_zero(dpage)
+    dspc = _sub_mod(C[p1.at("prev_super_pc")], spc)
+    eq_spc = (dspc == 0).astype(np.uint64)
+    C[p1.at("eq_spc")] = eq_spc
+    C[p1.at("eq_spc_inv")] = _inv_or_zero(dspc)
+    sro = normal * (1 - eq_page * eq_spc)
+    C[p1.at("sro")] = sro
+
+    cwr = np.zeros((8, n), np.uint64)
+    cwr[:, :total] = _np_w(w, "code_word_read")[:total].astype(np.uint64).T
+    prev_cw = C[p1.sl("prev_code_word")]
+    cw_sel = np.where(sro.astype(bool)[None, :], cwr, prev_cw)
+    C[p1.sl("cw_sel")] = cw_sel
+
+    picked_lo = np.zeros(n, np.uint64)
+    picked_hi = np.zeros(n, np.uint64)
+    for k in range(4):
+        m = C[p1.at("subpc_oh", k)].astype(bool)
+        picked_lo = np.where(m, cw_sel[6 - 2 * k], picked_lo)
+        picked_hi = np.where(m, cw_sel[7 - 2 * k], picked_hi)
+    raw_lo = np.where(skip.astype(bool), _NOP_ENC & 0xFFFFFFFF,
+                      np.where(ep.astype(bool), _PANIC_ENC & 0xFFFFFFFF,
+                               picked_lo))
+    raw_hi = np.where(skip.astype(bool), _NOP_ENC >> 32,
+                      np.where(ep.astype(bool), _PANIC_ENC >> 32, picked_hi))
+    C[p1.at("raw_lo")] = raw_lo
+    C[p1.at("raw_hi")] = raw_hi
+
+    vi = raw_lo & 0x7FF
+    C[p1.at("variant_idx")] = vi
+    C[p1.at("gap0")] = (raw_lo >> 11) & 1
+    C[p1.at("gap1")] = (raw_lo >> 12) & 1
+    cond = (raw_lo >> 13) & 7
+    C[p1.at("cond")] = cond
+    encs = {}
+    for j, nm in enumerate(("e_src0", "e_src1", "e_dst0", "e_dst1")):
+        encs[nm] = (raw_lo >> (16 + 4 * j)) & 0xF
+        C[p1.at(nm)] = encs[nm]
+        for b in range(4):
+            C[p1.at("enc_bits", 4 * j + b)] = (encs[nm] >> b) & 1
+    imm0 = raw_hi & 0xFFFF
+    imm1 = raw_hi >> 16
+    C[p1.at("imm0")] = imm0
+    C[p1.at("imm0_b")] = imm0 % 256
+    C[p1.at("imm0_b") + 1] = imm0 // 256
+    C[p1.at("imm1")] = imm1
+    C[p1.at("imm1_b")] = imm1 % 256
+    C[p1.at("imm1_b") + 1] = imm1 // 256
+
+    price = isa.OPCODES_PRICES.astype(np.uint64)[vi]
+    props = isa.OPCODES_PROPS_INTEGER_BITMASKS.astype(np.uint64)[vi]
+    C[p1.at("price")] = price
+    C[p1.at("props")] = props
+    for j in range(_N_PB):
+        C[p1.at("pb", j)] = (props >> j) & 1
+
+    f_of = C[p1.at("f_of")].astype(bool)
+    f_eq = C[p1.at("f_eq")].astype(bool)
+    f_gt = C[p1.at("f_gt")].astype(bool)
+    packed = (f_of.astype(np.uint64) + 2 * f_eq.astype(np.uint64)
+              + 4 * f_gt.astype(np.uint64))
+    cond_ok = np.zeros(n, np.uint64)
+    for cnd in range(8):
+        for f in range(8):
+            m = (cond == cnd) & (packed == f)
+            cond_ok = np.where(
+                m,
+                np.uint64(isa.condition_resolves(cnd, bool(f & 1),
+                                                 bool(f & 2), bool(f & 4))),
+                cond_ok,
+            )
+    C[p1.at("cond_ok")] = cond_ok
+
+    masked_price = (1 - skip) * price
+    oo = (masked_price > ergs).astype(np.uint64)
+    ediff = ergs - masked_price + oo * (1 << 32)
+    C[p1.at("oo")] = oo
+    C[p1.at("ediff")] = ediff
+    for b in range(4):
+        C[p1.at("ediff_b") + b] = (ediff >> (8 * b)) & 0xFF
+
+    AUX = isa.AUX_BITS_OFFSET
+    kernel_only = (props >> (AUX + isa.KERNEL_MODE_FLAG_IDX)) & 1
+    static_ok = (props >> (AUX + isa.CAN_BE_USED_IN_STATIC_CONTEXT_FLAG_IDX)) & 1
+    explicit_panic = (props >> (AUX + isa.EXPLICIT_PANIC_FLAG_IDX)) & 1
+    is_kernel = C[p1.at("is_kernel")]
+    is_static = C[p1.at("is_static")]
+    kernel_exc = kernel_only * (1 - is_kernel)
+    static_exc = is_static * (1 - static_ok)
+    ddep = _sub_mod(depth, _MAX_DEPTH)
+    cs_full = (ddep == 0).astype(np.uint64)
+    C[p1.at("kernel_exc")] = kernel_exc
+    C[p1.at("static_exc")] = static_exc
+    C[p1.at("cs_full")] = cs_full
+    C[p1.at("csf_inv")] = _inv_or_zero(ddep)
+    pa = explicit_panic | oo
+    pb_ = pa | kernel_exc
+    pcc = pb_ | static_exc
+    mask_panic = pcc | cs_full
+    mask_nop = (1 - mask_panic) * (1 - cond_ok)
+    mask_any = mask_panic | mask_nop
+    C[p1.at("p1")] = pa
+    C[p1.at("p2")] = pb_
+    C[p1.at("p3")] = pcc
+    C[p1.at("mask_panic")] = mask_panic
+    C[p1.at("mask_nop")] = mask_nop
+
+    eff = np.where(mask_panic.astype(bool), _PANIC_SPREAD,
+                   np.where(mask_nop.astype(bool), _NOP_SPREAD,
+                            props & _MASK48))
+    for j in range(16):
+        C[p1.at("et", j)] = (eff >> (isa.TYPE_BITS_OFFSET + j)) & 1
+    for j in range(10):
+        C[p1.at("ev", j)] = (eff >> (isa.VARIANT_BITS_OFFSET + j)) & 1
+    for j in range(2):
+        C[p1.at("ef", j)] = (eff >> (isa.FLAG_BITS_OFFSET + j)) & 1
+    for j in range(6):
+        C[p1.at("es", j)] = (eff >> (isa.INPUT_BITS_OFFSET + j)) & 1
+    for j in range(4):
+        C[p1.at("ed", j)] = (eff >> (isa.OUTPUT_BITS_OFFSET + j)) & 1
+
+    def et(t):
+        return C[p1.at("et", t)]
+
+    is_asym = et(isa.SUB) + et(isa.DIV) + et(isa.SHIFT) + et(isa.PTR)
+    swap = is_asym * C[p1.at("ef", 1)]
+    C[p1.at("swap")] = swap
+
+    # ---- operand one-hots + register reads ----
+    def onehot(name, eff_idx):
+        nz = (eff_idx != 0).astype(np.uint64)
+        for k in range(15):
+            C[p1.at(name, k)] = (eff_idx == k + 1).astype(np.uint64)
+        return nz, _inv_or_zero(eff_idx % gf.MODULUS)
+
+    e0 = (1 - mask_any) * encs["e_src0"]
+    e1 = (1 - mask_any) * encs["e_src1"]
+    C[p1.at("nz0")], C[p1.at("inv0")] = onehot("sel0", e0)
+    C[p1.at("nz1")], C[p1.at("inv1")] = onehot("sel1", e1)
+
+    # dst0_reg_write: ALU rows decide from dst mode (bound by the AIR);
+    # ptr/ctx/uma/log rows derive from the OBSERVED register change (the
+    # binding there is a documented v1 gap — the write target index is
+    # still pinned to the decoded e_dst0 by the one-hot sum)
+    is_alu = (et(isa.ADD) + et(isa.SUB) + et(isa.MUL) + et(isa.DIV)
+              + et(isa.SHIFT) + et(isa.BINOP))
+    dw_stack = (C[p1.at("ed", isa.DST_STACK_ABSOLUTE)]
+                + C[p1.at("ed", isa.DST_STACK_OFFSET)]
+                + C[p1.at("ed", isa.DST_STACK_PUSH_POP)])
+    regs_all_ = np.asarray(w["regs"]).astype(np.uint64)  # (total+1, 15, 8)
+    ptr_all_ = np.asarray(w["regs_ptr"]).astype(np.uint64)
+    changed = np.zeros((15, n), bool)
+    changed[:, :total] = (
+        (regs_all_[1 : total + 1] != regs_all_[:total]).any(-1)
+        | (ptr_all_[1 : total + 1] != ptr_all_[:total])
+    ).T
+    d0w = np.where(is_alu.astype(bool), 1 - dw_stack, 0).astype(np.uint64)
+    is_wfam = (et(isa.PTR) + et(isa.CONTEXT) + et(isa.UMA)
+               + et(isa.LOG)).astype(bool)
+    chg_d0 = np.zeros(n, bool)
+    chg_d1 = np.zeros(n, bool)
+    for k in range(15):
+        chg_d0 |= (encs["e_dst0"] == k + 1) & changed[k]
+        chg_d1 |= (encs["e_dst1"] == k + 1) & changed[k]
+    dst0_reg_write = np.where(is_wfam, chg_d0, d0w).astype(np.uint64)
+    d1w = (et(isa.MUL) + et(isa.DIV)).astype(np.uint64)
+    d1w = np.where(et(isa.UMA).astype(bool), chg_d1, d1w).astype(np.uint64)
+    C[p1.at("dst0_reg_write")] = dst0_reg_write
+    C[p1.at("dst1_reg_write")] = d1w
+    ew0 = dst0_reg_write * (1 - mask_any) * encs["e_dst0"]
+    ew1 = d1w * (1 - mask_any) * encs["e_dst1"]
+    C[p1.at("ew0")] = ew0
+    C[p1.at("ew1")] = ew1
+    C[p1.at("nzw0")], C[p1.at("invw0")] = onehot("wsel0", ew0)
+    C[p1.at("nzw1")], C[p1.at("invw1")] = onehot("wsel1", ew1)
+
+    regs_cols = C[p1.sl("regs")]          # (120, n)
+    ptr_cols = C[p1.sl("regs_ptr")]       # (15, n)
+    sel0 = C[p1.sl("sel0")]
+    sel1 = C[p1.sl("sel1")]
+    rr0 = np.zeros((8, n), np.uint64)
+    rr1 = np.zeros((8, n), np.uint64)
+    for k in range(15):
+        for l in range(8):
+            rr0[l] += sel0[k] * regs_cols[8 * k + l]
+            rr1[l] += sel1[k] * regs_cols[8 * k + l]
+    C[p1.sl("regread0")] = rr0 % gf.MODULUS
+    C[p1.sl("regread1")] = rr1 % gf.MODULUS
+    rr0p = (sel0 * ptr_cols).sum(0) % gf.MODULUS
+    rr1p = (sel1 * ptr_cols).sum(0) % gf.MODULUS
+    C[p1.at("rr0_ptr")] = rr0p
+    C[p1.at("rr1_ptr")] = rr1p
+
+    # src values: the committed evaluator witness (post swap + erasure)
+    s0v = np.zeros((8, n), np.uint64)
+    s1v = np.zeros((8, n), np.uint64)
+    s0v[:, :total] = _np_w(w, "src0_val")[:total].astype(np.uint64).T
+    s1v[:, :total] = _np_w(w, "src1_val")[:total].astype(np.uint64).T
+    C[p1.sl("src0_val")] = s0v
+    C[p1.sl("src1_val")] = s1v
+    s0p_ = np.zeros(n, np.uint64)
+    s1p_ = np.zeros(n, np.uint64)
+    s0p_[:total] = _np_w(w, "src0_is_ptr")[:total].astype(np.uint64)
+    s1p_[:total] = _np_w(w, "src1_is_ptr")[:total].astype(np.uint64)
+    C[p1.at("s0p")] = s0p_
+    C[p1.at("s1p")] = s1p_
+    es_reg = C[p1.at("es", isa.SRC_REG)]
+    C[p1.at("bind_s0")] = (1 - swap) * es_reg * (1 - rr0p)
+    C[p1.at("bind_s0_sw")] = swap * (1 - rr1p)
+    C[p1.at("bind_s1")] = (1 - swap) * (1 - rr1p)
+    C[p1.at("bind_s1_sw")] = swap * es_reg * (1 - rr0p)
+
+    # ---- dst values: add/sub computed; other families from the witness ----
+    is_add = et(isa.ADD).astype(bool)
+    is_sub = et(isa.SUB).astype(bool)
+    d0 = np.zeros((8, n), np.uint64)
+    carries = np.zeros((8, n), np.uint64)
+    cprev = np.zeros(n, np.uint64)
+    bprev = np.zeros(n, np.uint64)
+    addv = np.zeros((8, n), np.uint64)
+    subv = np.zeros((8, n), np.uint64)
+    addc = np.zeros((8, n), np.uint64)
+    subb = np.zeros((8, n), np.uint64)
+    for l in range(8):
+        t = s0v[l] + s1v[l] + cprev
+        addc[l] = (t >> 32) & 1
+        addv[l] = t & 0xFFFFFFFF
+        cprev = addc[l]
+        d = s0v[l] - s1v[l] - bprev
+        subb[l] = (d >> 63) & 1  # wrapped negative in u64
+        subv[l] = d + subb[l] * (1 << 32)
+        bprev = subb[l]
+    d0 = np.where(is_add[None], addv, np.where(is_sub[None], subv, d0))
+    carries = np.where(is_add[None], addc,
+                       np.where(is_sub[None], subb, carries))
+    # non-add/sub families: evaluator's dst0 candidate is in the register
+    # writeback; recover it from the next-row register file when written
+    regs_next = np.zeros((120, n), np.uint64)
+    regs_all = _np_w(w, "regs").astype(np.uint64)  # (total+1, 15, 8)
+    regs_next[:, :total] = regs_all[1 : total + 1].reshape(total, 120).T
+    regs_next[:, total:] = regs_all[total].reshape(120)[:, None]
+    wsel0 = C[p1.sl("wsel0")]
+    wsel1 = C[p1.sl("wsel1")]
+    other = ~(is_add | is_sub)
+    for k in range(15):
+        m = other & wsel0[k].astype(bool)
+        for l in range(8):
+            d0[l] = np.where(m, regs_next[8 * k + l], d0[l])
+    C[p1.sl("dst0_val")] = d0
+    for l in range(8):
+        for b in range(4):
+            C[p1.at("dst0_b", 4 * l + b)] = (d0[l] >> (8 * b)) & 0xFF
+    C[p1.sl("carry")] = carries
+    d0p = np.zeros(n, np.uint64)
+    d1v = np.zeros((8, n), np.uint64)
+    d1p = np.zeros(n, np.uint64)
+    for k in range(15):
+        m0 = wsel0[k].astype(bool)
+        m1 = wsel1[k].astype(bool)
+        d0p = np.where(m0, ptr_cols_next(k, w, total, n), d0p)
+        for l in range(8):
+            d1v[l] = np.where(m1, regs_next[8 * k + l], d1v[l])
+        d1p = np.where(m1, ptr_cols_next(k, w, total, n), d1p)
+    C[p1.at("d0ptr")] = d0p
+    C[p1.sl("dst1_val")] = d1v
+    C[p1.at("d1ptr")] = d1p
+
+    dsum = d0.sum(0)  # limbs < 2^32 so the u64 sum is exact and < p
+    as_eq = (dsum == 0).astype(np.uint64)
+    C[p1.at("as_eq")] = as_eq
+    C[p1.at("as_sum_inv")] = _inv_or_zero(dsum)
+    C[p1.at("as_gt")] = (1 - carries[7]) * as_eq_not(as_eq)
+    C[p1.at("upd_flags")] = (et(isa.ADD) + et(isa.SUB)) * C[p1.at("ef", 0)]
+
+    rp = np.zeros(n, np.uint64)
+    rp[:total] = _np_w(w, "ret_popped_pc")[:total].astype(np.uint64)
+    C[p1.at("ret_pc")] = rp
+    j16 = s0v[0] & 0xFFFF
+    jh = s0v[0] >> 16
+    C[p1.at("j_lo16")] = j16
+    C[p1.at("j_hi16")] = jh
+    C[p1.at("j_b")] = j16 % 256
+    C[p1.at("j_b") + 1] = j16 // 256
+    C[p1.at("j_b") + 2] = jh % 256
+    C[p1.at("j_b") + 3] = jh // 256
+    C[p1.at("pc_wrap")] = (pc == 0xFFFF).astype(np.uint64)
+
+    # ---- lookup multiplicities ----
+    C[p1.at("m_decode")] = np.bincount(vi.astype(np.int64), minlength=n)[
+        :n
+    ].astype(np.uint64)
+    cidx = (cond * 8 + packed).astype(np.int64)
+    C[p1.at("m_cond")] = np.bincount(cidx, minlength=n)[:n].astype(np.uint64)
+    bytes_all = np.concatenate(
+        [C[p1.index[nm][0] + j] for (nm, j) in _byte_query_names()]
+    ).astype(np.int64)
+    C[p1.at("m_byte")] = np.bincount(bytes_all, minlength=n)[:n].astype(
+        np.uint64
+    )
+
+    log_n = int(np.log2(n))
+    return gf.from_u64(C), fixed_tables(n), log_n
+
+
+def ptr_cols_next(k: int, w: dict, total: int, n: int) -> np.ndarray:
+    pn = np.zeros(n, np.uint64)
+    pall = np.asarray(w["regs_ptr"]).astype(np.uint64)
+    pn[:total] = pall[1 : total + 1, k]
+    pn[total:] = pall[total, k]
+    return pn
+
+
+def as_eq_not(x: np.ndarray) -> np.ndarray:
+    return (1 - x).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# the AIR
+# ---------------------------------------------------------------------------
+
+# challenge indices
+_XD, _BD, _XC, _BC, _XB, _RLC = range(6)
+
+
+def _col_ix(reg: _Reg, base: int):
+    """name -> absolute column index fn (offset by `base` into the
+    concatenated [fixed | phase1 | phase2] row view)."""
+
+    def at(name, j=0):
+        return base + reg.at(name, j)
+
+    def span(name):
+        s, k = reg.index[name]
+        return np.arange(base + s, base + s + k)
+
+    return at, span
+
+
+@functools.lru_cache(maxsize=1)
+def vm_core_air() -> AirSpec:
+    fx, p1, p2, state_names = layout()
+    F, P1, P2 = fx.n, p1.n, p2.n
+    fat, fspan = _col_ix(fx, 0)
+    at, span = _col_ix(p1, F)
+    at2, span2 = _col_ix(p2, F + P1)
+
+    bool_ix = np.array(
+        [at(nm) for nm in _BOOL_COLS]
+        + [j for nm in _BOOL_SPANS for j in span(nm)],
+        dtype=np.int64,
+    )
+    byte_q_ix = np.array(
+        [at(nm, j) for (nm, j) in _byte_query_names()], dtype=np.int64
+    )
+    state_ix = np.array(
+        [j for nm in state_names for j in span(nm)], dtype=np.int64
+    )
+    # simple-family selector sets (affine sums of one-hot type bits)
+    T = isa
+    regs_ix = span("regs").reshape(15, 8)
+    ptr_ix = span("regs_ptr")
+    sel0_ix, sel1_ix = span("sel0"), span("sel1")
+    wsel0_ix, wsel1_ix = span("wsel0"), span("wsel1")
+
+    one = gf.ones(())
+
+    def cc(row, i):
+        return row[..., i]
+
+    def et(row, t):
+        return row[..., at("et", t)]
+
+    def etsum(row, ts_):
+        v = et(row, ts_[0])
+        for t in ts_[1:]:
+            v = gf.add(v, et(row, t))
+        return v
+
+    def _not(x):
+        return gf.sub(one, x)
+
+    def row_constraints(cur, ch):
+        out = []
+        # G1: booleanity (vectorized)
+        b = cur[..., bool_ix]  # (batch, nb) -> move constraint axis front
+        b = GF(jnp.moveaxis(b.lo, -1, 0), jnp.moveaxis(b.hi, -1, 0))
+        out.append(gf.mul(b, gf.sub(b, one)))
+        skip = cc(cur, at("skip"))
+        depth = cc(cur, at("depth"))
+        # G2: skip == (depth == 0)
+        out.append(gf.mul(skip, depth))
+        out.append(gf.mul(_not(skip),
+                          gf.sub(one, gf.mul(depth, cc(cur, at("depth_inv"))))))
+        pend = cc(cur, at("pending"))
+        out.append(gf.sub(cc(cur, at("ep")), gf.mul(pend, _not(skip))))
+        out.append(gf.sub(cc(cur, at("normal")),
+                          gf.mul(_not(skip), _not(pend))))
+        # G5/G6: page / super-pc equality flags
+        pc = cc(cur, at("pc"))
+        spc = cc(cur, at("spc"))
+        dpage = gf.sub(cc(cur, at("prev_code_page")), cc(cur, at("code_page")))
+        eqp = cc(cur, at("eq_page"))
+        out.append(gf.mul(eqp, dpage))
+        out.append(gf.mul(_not(eqp),
+                          gf.sub(one, gf.mul(dpage, cc(cur, at("eq_page_inv"))))))
+        dspc = gf.sub(cc(cur, at("prev_super_pc")), spc)
+        eqs = cc(cur, at("eq_spc"))
+        out.append(gf.mul(eqs, dspc))
+        out.append(gf.mul(_not(eqs),
+                          gf.sub(one, gf.mul(dspc, cc(cur, at("eq_spc_inv"))))))
+        # G7: should_read_op
+        out.append(gf.sub(cc(cur, at("sro")),
+                          gf.mul(cc(cur, at("normal")),
+                                 gf.sub(one, gf.mul(eqp, eqs)))))
+        # G8: pc composition + sub-pc one-hot
+        pcb0, pcb1 = cc(cur, at("pcb0")), cc(cur, at("pcb1"))
+        out.append(gf.sub(pc, gf.add(gf.add(pcb0, gf.mul_const(pcb1, 2)),
+                                     gf.mul_const(spc, 4))))
+        out.append(gf.sub(spc, gf.add(cc(cur, at("spc_b", 0)),
+                                      gf.mul_const(cc(cur, at("spc_b", 1)),
+                                                   256))))
+        oh = [cc(cur, at("subpc_oh", k)) for k in range(4)]
+        out.append(gf.sub(gf.add(gf.add(oh[0], oh[1]), gf.add(oh[2], oh[3])),
+                          one))
+        out.append(gf.sub(
+            gf.add(oh[1], gf.add(gf.mul_const(oh[2], 2), gf.mul_const(oh[3], 3))),
+            gf.add(pcb0, gf.mul_const(pcb1, 2))))
+        # G9: cw_sel == prev_code_word where not read
+        nsro = _not(cc(cur, at("sro")))
+        cw = cur[..., span("cw_sel")]
+        pcw = cur[..., span("prev_code_word")]
+        diff = gf.sub(cw, pcw)
+        diff = GF(jnp.moveaxis(diff.lo, -1, 0), jnp.moveaxis(diff.hi, -1, 0))
+        out.append(gf.mul(gf.expand_dims(nsro, 0), diff))
+        # G10: raw opcode select
+        picked_lo = gf.zeros(skip.shape)
+        picked_hi = gf.zeros(skip.shape)
+        for k in range(4):
+            picked_lo = gf.add(picked_lo,
+                               gf.mul(oh[k], cc(cur, at("cw_sel", 6 - 2 * k))))
+            picked_hi = gf.add(picked_hi,
+                               gf.mul(oh[k], cc(cur, at("cw_sel", 7 - 2 * k))))
+        normal = cc(cur, at("normal"))
+        epv = cc(cur, at("ep"))
+        raw_lo = cc(cur, at("raw_lo"))
+        raw_hi = cc(cur, at("raw_hi"))
+        out.append(gf.sub(raw_lo, gf.add(
+            gf.add(gf.mul_const(skip, _NOP_ENC & 0xFFFFFFFF),
+                   gf.mul_const(epv, _PANIC_ENC & 0xFFFFFFFF)),
+            gf.mul(normal, picked_lo))))
+        out.append(gf.sub(raw_hi, gf.add(
+            gf.add(gf.mul_const(skip, _NOP_ENC >> 32),
+                   gf.mul_const(epv, _PANIC_ENC >> 32)),
+            gf.mul(normal, picked_hi))))
+        # G11: decode decomposition
+        comp = cc(cur, at("variant_idx"))
+        for nm, sh in (("gap0", 11), ("gap1", 12), ("cond", 13),
+                       ("e_src0", 16), ("e_src1", 20), ("e_dst0", 24),
+                       ("e_dst1", 28)):
+            comp = gf.add(comp, gf.mul_const(cc(cur, at(nm)), 1 << sh))
+        out.append(gf.sub(raw_lo, comp))
+        # G12: operand-encoding bits
+        for j, nm in enumerate(("e_src0", "e_src1", "e_dst0", "e_dst1")):
+            v = gf.zeros(skip.shape)
+            for b_ in range(4):
+                v = gf.add(v, gf.mul_const(
+                    cc(cur, at("enc_bits", 4 * j + b_)), 1 << b_))
+            out.append(gf.sub(cc(cur, at(nm)), v))
+        # G13: raw_hi == imm0 + 2^16 imm1 (+ byte splits)
+        imm0 = cc(cur, at("imm0"))
+        imm1 = cc(cur, at("imm1"))
+        out.append(gf.sub(raw_hi,
+                          gf.add(imm0, gf.mul_const(imm1, 1 << 16))))
+        for nm in ("imm0", "imm1"):
+            out.append(gf.sub(cc(cur, at(nm)), gf.add(
+                cc(cur, at(nm + "_b", 0)),
+                gf.mul_const(cc(cur, at(nm + "_b", 1)), 256))))
+        # ediff byte composition
+        ed_v = gf.zeros(skip.shape)
+        for b_ in range(4):
+            ed_v = gf.add(ed_v, gf.mul_const(cc(cur, at("ediff_b", b_)),
+                                             1 << (8 * b_)))
+        out.append(gf.sub(cc(cur, at("ediff")), ed_v))
+        price = cc(cur, at("price"))
+        # G20: ergs compare:  ergs - (1-skip)*price == ediff - oo*2^32
+        ergs = cc(cur, at("ergs"))
+        out.append(gf.sub(
+            gf.sub(ergs, gf.mul(_not(skip), price)),
+            gf.sub(cc(cur, at("ediff")),
+                   gf.mul_const(cc(cur, at("oo")), 1 << 32))))
+        # G17: property bitspread binding
+        pv = gf.zeros(skip.shape)
+        for j in range(_N_PB):
+            pv = gf.add(pv, gf.mul_const(cc(cur, at("pb", j)), 1 << j))
+        out.append(gf.sub(cc(cur, at("props")), pv))
+        # G19: exception flags
+        kernel_bit = cc(cur, at("pb", isa.AUX_BITS_OFFSET + isa.KERNEL_MODE_FLAG_IDX))
+        static_bit = cc(cur, at("pb", isa.AUX_BITS_OFFSET
+                                + isa.CAN_BE_USED_IN_STATIC_CONTEXT_FLAG_IDX))
+        panic_bit = cc(cur, at("pb", isa.AUX_BITS_OFFSET
+                               + isa.EXPLICIT_PANIC_FLAG_IDX))
+        out.append(gf.sub(cc(cur, at("kernel_exc")),
+                          gf.mul(kernel_bit, _not(cc(cur, at("is_kernel"))))))
+        out.append(gf.sub(cc(cur, at("static_exc")),
+                          gf.mul(cc(cur, at("is_static")), _not(static_bit))))
+        ddep = gf.sub(depth, gf.full(skip.shape, _MAX_DEPTH))
+        csf = cc(cur, at("cs_full"))
+        out.append(gf.mul(csf, ddep))
+        out.append(gf.mul(_not(csf),
+                          gf.sub(one, gf.mul(ddep, cc(cur, at("csf_inv"))))))
+        # G21: panic OR-chain + nop mask
+        def _or(x, y):
+            return gf.sub(gf.add(x, y), gf.mul(x, y))
+
+        oo = cc(cur, at("oo"))
+        out.append(gf.sub(cc(cur, at("p1")), _or(panic_bit, oo)))
+        out.append(gf.sub(cc(cur, at("p2")),
+                          _or(cc(cur, at("p1")), cc(cur, at("kernel_exc")))))
+        out.append(gf.sub(cc(cur, at("p3")),
+                          _or(cc(cur, at("p2")), cc(cur, at("static_exc")))))
+        mp = cc(cur, at("mask_panic"))
+        out.append(gf.sub(mp, _or(cc(cur, at("p3")), csf)))
+        mn = cc(cur, at("mask_nop"))
+        out.append(gf.sub(mn, gf.mul(_not(mp), _not(cc(cur, at("cond_ok"))))))
+        mask_any = gf.add(mp, mn)
+        # G18: effective spread bits
+        for grp, width, off in (("et", 16, isa.TYPE_BITS_OFFSET),
+                                ("ev", 10, isa.VARIANT_BITS_OFFSET),
+                                ("ef", 2, isa.FLAG_BITS_OFFSET),
+                                ("es", 6, isa.INPUT_BITS_OFFSET),
+                                ("ed", 4, isa.OUTPUT_BITS_OFFSET)):
+            eb = cur[..., span(grp)]
+            pb_g = cur[..., [at("pb", off + j) for j in range(width)]]
+            pan = np.array([(_PANIC_SPREAD >> (off + j)) & 1
+                            for j in range(width)], np.uint64)
+            nop = np.array([(_NOP_SPREAD >> (off + j)) & 1
+                            for j in range(width)], np.uint64)
+            exp = gf.add(
+                gf.add(gf.mul(gf.expand_dims(mp, -1), gf.from_u64(pan)),
+                       gf.mul(gf.expand_dims(mn, -1), gf.from_u64(nop))),
+                gf.mul(gf.expand_dims(gf.sub(one, mask_any), -1), pb_g))
+            d = gf.sub(eb, exp)
+            out.append(GF(jnp.moveaxis(d.lo, -1, 0), jnp.moveaxis(d.hi, -1, 0)))
+        # no INVALID opcode may execute
+        out.append(et(cur, isa.INVALID))
+        # G24: swap
+        swp = cc(cur, at("swap"))
+        out.append(gf.sub(swp, gf.mul(
+            etsum(cur, [isa.SUB, isa.DIV, isa.SHIFT, isa.PTR]),
+            cc(cur, at("ef", 1)))))
+        # G25/26: operand one-hot bindings
+        def bind_onehot(sel_ix_, nz_nm, inv_nm, eff):
+            sel = cur[..., sel_ix_]
+            ks = gf.from_u64(np.arange(1, 16, dtype=np.uint64))
+            out.append(gf.sub(gf.sum_mod(gf.mul(sel, ks)), eff))
+            out.append(gf.sub(gf.sum_mod(sel), cc(cur, at(nz_nm))))
+            out.append(gf.mul(_not(cc(cur, at(nz_nm))), eff))
+            out.append(gf.sub(cc(cur, at(nz_nm)),
+                              gf.mul(eff, cc(cur, at(inv_nm)))))
+
+        nomask = gf.sub(one, mask_any)
+        bind_onehot(sel0_ix, "nz0", "inv0",
+                    gf.mul(nomask, cc(cur, at("e_src0"))))
+        bind_onehot(sel1_ix, "nz1", "inv1",
+                    gf.mul(nomask, cc(cur, at("e_src1"))))
+        # effective write indices are COMMITTED (ew0/ew1) so the one-hot
+        # inverse bindings stay within degree 3
+        d0w = cc(cur, at("dst0_reg_write"))
+        d1w = cc(cur, at("dst1_reg_write"))
+        out.append(gf.sub(cc(cur, at("ew0")),
+                          gf.mul(gf.mul(nomask, d0w), cc(cur, at("e_dst0")))))
+        out.append(gf.sub(cc(cur, at("ew1")),
+                          gf.mul(gf.mul(nomask, d1w), cc(cur, at("e_dst1")))))
+        bind_onehot(wsel0_ix, "nzw0", "invw0", cc(cur, at("ew0")))
+        bind_onehot(wsel1_ix, "nzw1", "invw1", cc(cur, at("ew1")))
+        is_alu = etsum(cur, [isa.ADD, isa.SUB, isa.MUL, isa.DIV, isa.SHIFT,
+                             isa.BINOP])
+        dw_stack = gf.add(gf.add(cc(cur, at("ed", isa.DST_STACK_ABSOLUTE)),
+                                 cc(cur, at("ed", isa.DST_STACK_OFFSET))),
+                          cc(cur, at("ed", isa.DST_STACK_PUSH_POP)))
+        out.append(gf.mul(is_alu, gf.sub(d0w, gf.sub(one, dw_stack))))
+        out.append(gf.mul(etsum(cur, [isa.NOP, isa.JUMP, isa.NEAR_CALL]), d0w))
+        out.append(gf.mul(etsum(cur, [isa.MUL, isa.DIV]), gf.sub(d1w, one)))
+        out.append(gf.mul(gf.sub(one, etsum(cur, [isa.MUL, isa.DIV, isa.UMA])),
+                          d1w))
+        # G27: register reads
+        regs = cur[..., regs_ix.reshape(-1)]
+        regs = regs.reshape(regs.shape[:-1] + (15, 8))
+        sel0 = gf.expand_dims(cur[..., sel0_ix], -1)
+        sel1 = gf.expand_dims(cur[..., sel1_ix], -1)
+        rr0 = gf.sum_mod(gf.mul(sel0, regs), axis=-2)  # (batch, 8)
+        rr1 = gf.sum_mod(gf.mul(sel1, regs), axis=-2)
+        d_rr0 = gf.sub(cur[..., span("regread0")], rr0)
+        d_rr1 = gf.sub(cur[..., span("regread1")], rr1)
+        out.append(GF(jnp.moveaxis(d_rr0.lo, -1, 0),
+                      jnp.moveaxis(d_rr0.hi, -1, 0)))
+        out.append(GF(jnp.moveaxis(d_rr1.lo, -1, 0),
+                      jnp.moveaxis(d_rr1.hi, -1, 0)))
+        ptrs = cur[..., ptr_ix]
+        out.append(gf.sub(cc(cur, at("rr0_ptr")),
+                          gf.sum_mod(gf.mul(cur[..., sel0_ix], ptrs))))
+        out.append(gf.sub(cc(cur, at("rr1_ptr")),
+                          gf.sum_mod(gf.mul(cur[..., sel1_ix], ptrs))))
+        # G28: src-value bindings (register / imm addressing)
+        es_reg = cc(cur, at("es", isa.SRC_REG))
+        es_imm = cc(cur, at("es", isa.SRC_IMM))
+        out.append(gf.sub(cc(cur, at("bind_s0")),
+                          gf.mul(gf.mul(_not(swp), es_reg),
+                                 _not(cc(cur, at("rr0_ptr"))))))
+        out.append(gf.sub(cc(cur, at("bind_s0_sw")),
+                          gf.mul(swp, _not(cc(cur, at("rr1_ptr"))))))
+        out.append(gf.sub(cc(cur, at("bind_s1")),
+                          gf.mul(_not(swp), _not(cc(cur, at("rr1_ptr"))))))
+        out.append(gf.sub(cc(cur, at("bind_s1_sw")),
+                          gf.mul(gf.mul(swp, es_reg),
+                                 _not(cc(cur, at("rr0_ptr"))))))
+        s0v = cur[..., span("src0_val")]
+        s1v = cur[..., span("src1_val")]
+        rr0c = cur[..., span("regread0")]
+        rr1c = cur[..., span("regread1")]
+
+        def vbind(mask, a_, b_):
+            d = gf.mul(gf.expand_dims(mask, -1), gf.sub(a_, b_))
+            out.append(GF(jnp.moveaxis(d.lo, -1, 0), jnp.moveaxis(d.hi, -1, 0)))
+
+        vbind(cc(cur, at("bind_s0")), s0v, rr0c)
+        vbind(cc(cur, at("bind_s0_sw")), s0v, rr1c)
+        vbind(cc(cur, at("bind_s1")), s1v, rr1c)
+        vbind(cc(cur, at("bind_s1_sw")), s1v, rr0c)
+        out.append(gf.mul(cc(cur, at("bind_s0")), cc(cur, at("s0p"))))
+        out.append(gf.mul(cc(cur, at("bind_s1")), cc(cur, at("s1p"))))
+        # imm mode: src0 (no swap) / src1 (swap) == imm0 in limb 0, 0 above
+        im0 = gf.mul(es_imm, _not(swp))
+        im1 = gf.mul(es_imm, swp)
+        vbind(im0, s0v,
+              gf.concat([gf.expand_dims(imm0, -1),
+                         gf.zeros(imm0.shape + (7,))], axis=-1))
+        vbind(im1, s1v,
+              gf.concat([gf.expand_dims(imm0, -1),
+                         gf.zeros(imm0.shape + (7,))], axis=-1))
+        # G29: add/sub carry chains onto dst0_val
+        d0v = cur[..., span("dst0_val")]
+        carry = [cc(cur, at("carry", l)) for l in range(8)]
+        addr_ = []
+        subr_ = []
+        for l in range(8):
+            cm1 = carry[l - 1] if l else gf.zeros(skip.shape)
+            addr_.append(gf.sub(
+                gf.add(gf.add(s0v[..., l], s1v[..., l]), cm1),
+                gf.add(d0v[..., l], gf.mul_const(carry[l], 1 << 32))))
+            subr_.append(gf.sub(
+                gf.add(gf.sub(s0v[..., l], s1v[..., l]),
+                       gf.sub(gf.mul_const(carry[l], 1 << 32), cm1)),
+                d0v[..., l]))
+        out.append(gf.mul(gf.expand_dims(et(cur, isa.ADD), 0),
+                          gf.stack(addr_, axis=0)))
+        out.append(gf.mul(gf.expand_dims(et(cur, isa.SUB), 0),
+                          gf.stack(subr_, axis=0)))
+        # ALU results are never pointers
+        out.append(gf.mul(is_alu, cc(cur, at("d0ptr"))))
+        # G30: dst0 zero-test + gt + byte composition
+        dsum = gf.sum_mod(d0v)
+        aeq = cc(cur, at("as_eq"))
+        out.append(gf.mul(aeq, dsum))
+        out.append(gf.mul(_not(aeq),
+                          gf.sub(one, gf.mul(dsum, cc(cur, at("as_sum_inv"))))))
+        out.append(gf.sub(cc(cur, at("as_gt")),
+                          gf.mul(_not(carry[7]), _not(aeq))))
+        out.append(gf.sub(cc(cur, at("upd_flags")),
+                          gf.mul(etsum(cur, [isa.ADD, isa.SUB]),
+                                 cc(cur, at("ef", 0)))))
+        dbytes = []
+        for l in range(8):
+            v = gf.zeros(skip.shape)
+            for b_ in range(4):
+                v = gf.add(v, gf.mul_const(
+                    cc(cur, at("dst0_b", 4 * l + b_)), 1 << (8 * b_)))
+            dbytes.append(gf.sub(d0v[..., l], v))
+        out.append(gf.stack(dbytes, axis=0))
+        # G33: jump target split
+        out.append(gf.sub(s0v[..., 0],
+                          gf.add(cc(cur, at("j_lo16")),
+                                 gf.mul_const(cc(cur, at("j_hi16")), 1 << 16))))
+        out.append(gf.sub(cc(cur, at("j_lo16")), gf.add(
+            cc(cur, at("j_b", 0)), gf.mul_const(cc(cur, at("j_b", 1)), 256))))
+        out.append(gf.sub(cc(cur, at("j_hi16")), gf.add(
+            cc(cur, at("j_b", 2)), gf.mul_const(cc(cur, at("j_b", 3)), 256))))
+        out.append(gf.mul(cc(cur, at("pc_wrap")),
+                          gf.sub(pc, gf.full(skip.shape, 0xFFFF))))
+        # ---- logUp row relations ----
+        Xd, bd = ch[_XD], ch[_BD]
+        key_q = gf.add(cc(cur, at("variant_idx")),
+                       gf.add(gf.mul(bd, price),
+                              gf.mul(gf.mul(bd, bd), cc(cur, at("props")))))
+        out.append(gf.sub(gf.mul(cc(cur, at2("inv_qd")), gf.sub(Xd, key_q)),
+                          one))
+        key_t = gf.add(cc(cur, fat("t_dec_vi")),
+                       gf.add(gf.mul(bd, cc(cur, fat("t_dec_price"))),
+                              gf.mul(gf.mul(bd, bd),
+                                     cc(cur, fat("t_dec_props")))))
+        out.append(gf.sub(gf.mul(cc(cur, at2("inv_td")), gf.sub(Xd, key_t)),
+                          cc(cur, at("m_decode"))))
+        Xc, bc = ch[_XC], ch[_BC]
+        packed = gf.add(cc(cur, at("f_of")),
+                        gf.add(gf.mul_const(cc(cur, at("f_eq")), 2),
+                               gf.mul_const(cc(cur, at("f_gt")), 4)))
+        key_qc = gf.add(cc(cur, at("cond")),
+                        gf.add(gf.mul(bc, packed),
+                               gf.mul(gf.mul(bc, bc), cc(cur, at("cond_ok")))))
+        out.append(gf.sub(gf.mul(cc(cur, at2("inv_qc")), gf.sub(Xc, key_qc)),
+                          one))
+        key_tc = gf.add(cc(cur, fat("t_cond_c")),
+                        gf.add(gf.mul(bc, cc(cur, fat("t_cond_f"))),
+                               gf.mul(gf.mul(bc, bc),
+                                      cc(cur, fat("t_cond_r")))))
+        out.append(gf.sub(gf.mul(cc(cur, at2("inv_tc")), gf.sub(Xc, key_tc)),
+                          cc(cur, at("m_cond"))))
+        Xb = ch[_XB]
+        qb = cur[..., byte_q_ix]
+        invb = cur[..., span2("inv_qb")]
+        d = gf.sub(gf.mul(invb, gf.sub(Xb, qb)), gf.ones(qb.shape))
+        out.append(GF(jnp.moveaxis(d.lo, -1, 0), jnp.moveaxis(d.hi, -1, 0)))
+        out.append(gf.sub(
+            gf.mul(cc(cur, at2("inv_tb")),
+                   gf.sub(Xb, cc(cur, fat("t_byte")))),
+            cc(cur, at("m_byte"))))
+        return out
+
+    def _lookup_diff(row):
+        v = gf.add(cc(row, at2("inv_qd")), cc(row, at2("inv_qc")))
+        v = gf.add(v, gf.sum_mod(row[..., span2("inv_qb")]))
+        v = gf.sub(v, gf.add(cc(row, at2("inv_td")),
+                             gf.add(cc(row, at2("inv_tc")),
+                                    cc(row, at2("inv_tb")))))
+        return v
+
+    def constraints(cur, nxt, ch):
+        out = []
+        skip = cc(cur, at("skip"))
+        nskip = _not(skip)
+        # ts
+        out.append(gf.sub(gf.sub(cc(nxt, at("ts")), cc(cur, at("ts"))),
+                          gf.mul_const(nskip, 4)))
+        # depth
+        out.append(gf.sub(
+            gf.sub(cc(nxt, at("depth")), cc(cur, at("depth"))),
+            gf.mul(nskip, gf.sub(etsum(cur, [isa.NEAR_CALL, isa.FAR_CALL]),
+                                 et(cur, isa.RET)))))
+        # pc
+        pc = cc(cur, at("pc"))
+        pc_seq = gf.sub(gf.add(pc, one),
+                        gf.mul_const(cc(cur, at("pc_wrap")), 1 << 16))
+        muts = etsum(cur, [isa.JUMP, isa.NEAR_CALL, isa.FAR_CALL, isa.RET])
+        exp = gf.add(
+            gf.mul(gf.sub(one, muts), pc_seq),
+            gf.add(gf.mul(et(cur, isa.JUMP), cc(cur, at("j_lo16"))),
+                   gf.add(gf.mul(et(cur, isa.NEAR_CALL), cc(cur, at("imm0"))),
+                          gf.mul(et(cur, isa.RET), cc(cur, at("ret_pc"))))))
+        out.append(gf.sub(cc(nxt, at("pc")),
+                          gf.add(gf.mul(skip, pc), gf.mul(nskip, exp))))
+        # ergs (simple families)
+        is_es = etsum(cur, [isa.ADD, isa.SUB, isa.MUL, isa.DIV, isa.JUMP,
+                            isa.BINOP, isa.SHIFT, isa.PTR, isa.CONTEXT,
+                            isa.NOP])
+        ergs1 = gf.mul(_not(cc(cur, at("oo"))), cc(cur, at("ediff")))
+        out.append(gf.mul(is_es, gf.sub(cc(nxt, at("ergs")), ergs1)))
+        # flags (families whose flag semantics are fully modeled)
+        is_fs = etsum(cur, [isa.ADD, isa.SUB, isa.JUMP, isa.NOP, isa.CONTEXT,
+                            isa.PTR, isa.UMA, isa.LOG])
+        upd = cc(cur, at("upd_flags"))
+        for nm, nf in (("f_of", cc(cur, at("carry", 7))),
+                       ("f_eq", cc(cur, at("as_eq"))),
+                       ("f_gt", cc(cur, at("as_gt")))):
+            out.append(gf.mul(is_fs, gf.sub(
+                cc(nxt, at(nm)),
+                gf.add(gf.mul(upd, nf),
+                       gf.mul(_not(upd), cc(cur, at(nm)))))))
+        # pending cleared on families that cannot raise it
+        is_sp = etsum(cur, [isa.ADD, isa.SUB, isa.MUL, isa.DIV, isa.JUMP,
+                            isa.BINOP, isa.SHIFT, isa.NOP, isa.CONTEXT,
+                            isa.LOG, isa.NEAR_CALL, isa.RET])
+        out.append(gf.mul(is_sp, cc(nxt, at("pending"))))
+        # frame-scoped state unchanged outside far_call/ret
+        not_fr = gf.sub(one, etsum(cur, [isa.FAR_CALL, isa.RET]))
+        for nm in ("is_kernel", "is_static", "code_page", "base_page"):
+            out.append(gf.mul(not_fr, gf.sub(cc(nxt, at(nm)),
+                                             cc(cur, at(nm)))))
+        # code-word cache continuity
+        dcw = gf.sub(nxt[..., span("prev_code_word")],
+                     cur[..., span("cw_sel")])
+        out.append(GF(jnp.moveaxis(dcw.lo, -1, 0), jnp.moveaxis(dcw.hi, -1, 0)))
+        out.append(gf.sub(cc(nxt, at("prev_code_page")),
+                          cc(cur, at("code_page"))))
+        out.append(gf.sub(
+            cc(nxt, at("prev_super_pc")),
+            gf.add(gf.mul(skip, cc(cur, at("prev_super_pc"))),
+                   gf.mul(nskip, cc(cur, at("spc"))))))
+        # register file
+        regs_c = cur[..., regs_ix.reshape(-1)].reshape(
+            cur.shape[:-1] + (15, 8))
+        regs_n = nxt[..., regs_ix.reshape(-1)].reshape(
+            cur.shape[:-1] + (15, 8))
+        w0 = gf.expand_dims(cur[..., wsel0_ix], -1)
+        w1 = gf.expand_dims(cur[..., wsel1_ix], -1)
+        d0v = gf.expand_dims(cur[..., span("dst0_val")], -2)
+        d1v = gf.expand_dims(cur[..., span("dst1_val")], -2)
+        resid = gf.sub(gf.sub(regs_n, regs_c),
+                       gf.add(gf.mul(w0, gf.sub(d0v, regs_c)),
+                              gf.mul(w1, gf.sub(d1v, regs_c))))
+        resid = gf.mul(GF(not_fr.lo[..., None, None],
+                          not_fr.hi[..., None, None]), resid)
+        out.append(GF(
+            jnp.moveaxis(resid.lo.reshape(resid.lo.shape[:-2] + (120,)), -1, 0),
+            jnp.moveaxis(resid.hi.reshape(resid.hi.shape[:-2] + (120,)), -1, 0)))
+        ptr_c = cur[..., ptr_ix]
+        ptr_n = nxt[..., ptr_ix]
+        w0f = cur[..., wsel0_ix]
+        w1f = cur[..., wsel1_ix]
+        d0p = gf.expand_dims(cc(cur, at("d0ptr")), -1)
+        d1p = gf.expand_dims(cc(cur, at("d1ptr")), -1)
+        presid = gf.sub(gf.sub(ptr_n, ptr_c),
+                        gf.add(gf.mul(w0f, gf.sub(d0p, ptr_c)),
+                               gf.mul(w1f, gf.sub(d1p, ptr_c))))
+        presid = gf.mul(gf.expand_dims(not_fr, -1), presid)
+        out.append(GF(jnp.moveaxis(presid.lo, -1, 0),
+                      jnp.moveaxis(presid.hi, -1, 0)))
+        # logUp accumulator
+        out.append(gf.sub(gf.sub(cc(nxt, at2("acc")), cc(cur, at2("acc"))),
+                          _lookup_diff(nxt)))
+        return out
+
+    def first_row(row, public, ch):
+        rlc = ch[_RLC]
+        st = row[..., state_ix]
+        pows = _rlc_pows(rlc, len(state_ix))
+        v = gf.sum_mod(gf.mul(st, pows))
+        return [gf.sub(v, public[0]),
+                gf.sub(cc(row, at2("acc")), _lookup_diff(row))]
+
+    def last_row(row, public, ch):
+        rlc = ch[_RLC]
+        st = row[..., state_ix]
+        pows = _rlc_pows(rlc, len(state_ix))
+        v = gf.sum_mod(gf.mul(st, pows))
+        return [gf.sub(v, public[1]), cc(row, at2("acc"))]
+
+    return AirSpec(
+        num_cols=P1,
+        max_degree=3,
+        constraints=constraints,
+        row_constraints=row_constraints,
+        first_row=first_row,
+        last_row=last_row,
+        num_public=2,
+        num_fixed_cols=F,
+        num_phase2_cols=P2,
+        num_challenges=6,
+    )
+
+
+def _rlc_pows(rlc: GF, k: int) -> GF:
+    """[rlc^0 .. rlc^{k-1}] under lax.scan (shared prover/verifier)."""
+    import jax
+
+    def body(p, _):
+        return gf.canonicalize(gf.mul(p, rlc)), p
+
+    _, pows = jax.lax.scan(body, gf.ones(()), None, length=k)
+    return pows
+
+
+# ---------------------------------------------------------------------------
+# phase-2 builder + prove/verify
+# ---------------------------------------------------------------------------
+
+
+def _build_phase2(trace: GF, ch_ints) -> GF:
+    """[fixed | phase1] trace -> (P2, n) inverse/acc columns."""
+    import jax
+
+    fx, p1, p2, _ = layout()
+    F = fx.n
+
+    def col(reg, base, name, j=0):
+        return trace[base + reg.at(name, j)]
+
+    Xd = gf.from_u64(np.uint64(ch_ints[_XD]))
+    bd = gf.from_u64(np.uint64(ch_ints[_BD]))
+    Xc = gf.from_u64(np.uint64(ch_ints[_XC]))
+    bc = gf.from_u64(np.uint64(ch_ints[_BC]))
+    Xb = gf.from_u64(np.uint64(ch_ints[_XB]))
+
+    key_q = gf.add(col(p1, F, "variant_idx"),
+                   gf.add(gf.mul(bd, col(p1, F, "price")),
+                          gf.mul(gf.mul(bd, bd), col(p1, F, "props"))))
+    inv_qd = gf.inv(gf.sub(Xd, key_q))
+    key_t = gf.add(col(fx, 0, "t_dec_vi"),
+                   gf.add(gf.mul(bd, col(fx, 0, "t_dec_price")),
+                          gf.mul(gf.mul(bd, bd), col(fx, 0, "t_dec_props"))))
+    inv_td = gf.mul(col(p1, F, "m_decode"), gf.inv(gf.sub(Xd, key_t)))
+    packed = gf.add(col(p1, F, "f_of"),
+                    gf.add(gf.mul_const(col(p1, F, "f_eq"), 2),
+                           gf.mul_const(col(p1, F, "f_gt"), 4)))
+    key_qc = gf.add(col(p1, F, "cond"),
+                    gf.add(gf.mul(bc, packed),
+                           gf.mul(gf.mul(bc, bc), col(p1, F, "cond_ok"))))
+    inv_qc = gf.inv(gf.sub(Xc, key_qc))
+    key_tc = gf.add(col(fx, 0, "t_cond_c"),
+                    gf.add(gf.mul(bc, col(fx, 0, "t_cond_f")),
+                           gf.mul(gf.mul(bc, bc), col(fx, 0, "t_cond_r"))))
+    inv_tc = gf.mul(col(p1, F, "m_cond"), gf.inv(gf.sub(Xc, key_tc)))
+    qb_ix = np.array([F + p1.at(nm, j) for (nm, j) in _byte_query_names()],
+                     dtype=np.int64)
+    qb = trace[qb_ix]  # (44ish, n)
+    inv_qb = gf.inv(gf.sub(Xb, qb))
+    inv_tb = gf.mul(col(p1, F, "m_byte"),
+                    gf.inv(gf.sub(Xb, col(fx, 0, "t_byte"))))
+    diff = gf.add(gf.add(inv_qd, inv_qc), gf.sum_mod(inv_qb, axis=0))
+    diff = gf.sub(diff, gf.add(inv_td, gf.add(inv_tc, inv_tb)))
+
+    def body(acc, d):
+        acc = gf.add(acc, d)
+        return acc, acc
+
+    _, acc = jax.lax.scan(body, gf.zeros(()), diff)
+    return gf.concat(
+        [gf.stack([inv_qd, inv_td, inv_qc, inv_tc], axis=0), inv_qb,
+         gf.stack([inv_tb, acc], axis=0)],
+        axis=0,
+    )
+
+
+def boundary_state_vectors(phase1: GF) -> Tuple[np.ndarray, np.ndarray]:
+    """(state_in, state_out) plaintext u64 vectors — the values the
+    boundary-RLC publics bind (the instance's FSM input/output)."""
+    fx, p1, _, state_names = layout()
+    ix = np.array([j for nm in state_names
+                   for j in range(*_span_bounds(p1, nm))], np.int64)
+    cols = np.asarray(phase1.astype_u64(), np.uint64)
+    return cols[ix, 0].copy(), cols[ix, -1].copy()
+
+
+def _span_bounds(reg: _Reg, nm: str) -> Tuple[int, int]:
+    s, k = reg.index[nm]
+    return s, s + k
+
+
+def _boundary_publics(state_in: np.ndarray, state_out: np.ndarray,
+                      rlc: int) -> GF:
+    k = state_in.shape[0]
+    pows = np.ones(k, dtype=object)
+    for j in range(1, k):
+        pows[j] = pows[j - 1] * rlc % gf.MODULUS
+    pin = sum(int(v) * int(p) for v, p in zip(state_in, pows)) % gf.MODULUS
+    pout = sum(int(v) * int(p) for v, p in zip(state_out, pows)) % gf.MODULUS
+    return gf.from_u64(np.array([pin, pout], np.uint64))
+
+
+def debug_residuals(w: dict, limit: int,
+                    ch_ints: Tuple[int, ...] = (11, 12, 13, 14, 15, 16)):
+    """Evaluate every AIR constraint directly on the trace domain (no
+    STARK): returns {kind: [(constraint_index, num_bad_rows), ...]} for the
+    constraints that do NOT vanish — the fast iteration loop for keeping
+    the builder and the AIR in sync."""
+    phase1, fixed, log_n = vm_core_trace(w, limit)
+    air = vm_core_air()
+    n = 1 << log_n
+    p2cols = _build_phase2(gf.concat([fixed, phase1], axis=0), ch_ints)
+    full = gf.concat([fixed, phase1, p2cols], axis=0)
+    rows = GF(full.lo.T, full.hi.T)          # (n, C)
+    nxt = GF(jnp.roll(full.lo, -1, axis=-1).T,
+             jnp.roll(full.hi, -1, axis=-1).T)
+    ch = gf.from_u64(np.array(ch_ints, np.uint64))
+    state_in, state_out = boundary_state_vectors(phase1)
+    public = _boundary_publics(state_in, state_out, ch_ints[_RLC])
+    bad = {}
+
+    def scan(kind, vals, valid_mask=None):
+        out = []
+        for i, v in enumerate(vals):
+            u = np.asarray(gf.canonicalize(v).astype_u64())
+            if u.ndim == 2 and valid_mask is not None:
+                u = u[:, valid_mask]
+            elif u.ndim == 1 and valid_mask is not None:
+                u = u[valid_mask]
+            nbad = int((u != 0).sum())
+            if nbad:
+                out.append((i, nbad))
+        if out:
+            bad[kind] = out
+
+    scan("row", air.row_constraints(rows, ch))
+    mask = np.ones(n, bool)
+    mask[-1] = False
+    scan("transition", air.constraints(rows, nxt, ch), mask)
+    scan("first", air.first_row(rows[0:1], public, ch))
+    scan("last", air.last_row(rows[n - 1 : n], public, ch))
+    return bad
+
+
+def prove_vm_core(w: dict, limit: int,
+                  params: Optional[StarkParams] = None
+                  ) -> Tuple[StarkProof, np.ndarray, np.ndarray, StarkParams]:
+    """STARK-prove the VM core relation set for one instance's witness.
+
+    Returns (proof, state_in, state_out, params): the boundary state
+    vectors are the proof's public binding (challenge-RLC), to be
+    cross-checked against the instance's ClosedFormInput FSM state."""
+    phase1, fixed, log_n = vm_core_trace(w, limit)
+    air = vm_core_air()
+    if params is None:
+        params = StarkParams(log_n=log_n)
+    state_in, state_out = boundary_state_vectors(phase1)
+
+    # publics depend on the RLC challenge -> derive it exactly as the
+    # verifier will (FS over fixed cap + phase-1 cap), then prove
+    from .stark import _commit_columns
+
+    cap_f = _commit_columns(fixed, params)["cap"]
+    cap_1 = _commit_columns(phase1, params)["cap"]
+    ch, _ = challenges_from_cap(cap_1, air, cap_f)
+    public = _boundary_publics(state_in, state_out, ch[_RLC])
+    proof = prove(phase1, air, params, public, build_phase2=_build_phase2,
+                  fixed_cols=fixed)
+    return proof, state_in, state_out, params
+
+
+def verify_vm_core(proof: StarkProof, state_in: np.ndarray,
+                   state_out: np.ndarray, params: StarkParams) -> bool:
+    """Verifier: recompute the fixed-table cap (the VK), re-derive the RLC
+    challenge, rebuild the boundary publics from the CLAIMED state vectors,
+    and run the STARK verifier."""
+    air = vm_core_air()
+    n = 1 << params.log_n
+    fixed = fixed_tables(n)
+    fx, p1, _, state_names = layout()
+    k = sum(p1.index[nm][1] for nm in state_names)
+    state_in = np.asarray(state_in, np.uint64)
+    state_out = np.asarray(state_out, np.uint64)
+    if state_in.shape != (k,) or state_out.shape != (k,):
+        return False
+    has_fixed = 1
+    if len(proof.caps) != 3:
+        return False
+    ch, _ = challenges_from_cap(proof.caps[has_fixed], air, proof.caps[0])
+    public = _boundary_publics(state_in, state_out, ch[_RLC])
+    return verify(proof, air, params, public, fixed_cols=fixed)

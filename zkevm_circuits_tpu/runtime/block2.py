@@ -80,6 +80,12 @@ class Block2Config:
     # sponge-chain STARK, so the recursion tree's leaf publics are
     # proof-backed rather than recomputed by a trusting host
     prove_commitments: bool = False
+    # prove the VM core relation set (decode pipeline + logUp table
+    # lookups + register file + ADD/SUB ALU + control-state transitions)
+    # over a committed trace (prover/vm_air.py; ref main_vm/cycle.rs:959-966
+    # committed geometry) — circuit type 1's verdict becomes
+    # verifier-produced instead of evaluator-trusted
+    prove_vm: bool = False
 
 
 @dataclasses.dataclass
@@ -201,6 +207,19 @@ def execute_block2(
     inst = config.vm_instance_limit or config.vm_limit
     forms[1], vm_proto = vm2.vm_instance_compact_forms(dw, inst)
     residuals["main_vm_protocol"] = vm_proto
+
+    # optional committed-trace STARK for the VM core relation set: the
+    # type-1 verdict the scheduler consumes becomes the VERIFIER's
+    vm_stark_verdict = None
+    if config.prove_vm:
+        from ..prover import vm_air
+
+        vm_proof, vm_s_in, vm_s_out, vm_params = vm_air.prove_vm_core(
+            w, config.vm_limit
+        )
+        vm_stark_verdict = vm_air.verify_vm_core(
+            vm_proof, vm_s_in, vm_s_out, vm_params
+        )
 
     # ---------------- types 2+3: decommit sorter + code unpacker ----------
     # the bootloader decommit was pushed by the sim before cycle 0
@@ -641,6 +660,8 @@ def execute_block2(
     if storages:
         gp_witnesses[9] = svw
     stark_verdicts = {}
+    if vm_stark_verdict is not None:
+        stark_verdicts[1] = vm_stark_verdict
     if config.prove_sorter_starks:
         from ..prover import pipeline as stark_pipeline
 
