@@ -1,7 +1,7 @@
 """main_vm v2 — the full EraVM circuit, rebuilt on the real zkEVM ISA.
 
-Replaces the round-1 mini-ISA VM (`models/main_vm.py`, kept for the legacy
-block driver during the migration).  Reference: `src/main_vm/` — entry point
+Replaces the round-1 mini-ISA VM (deleted in round 4; vm2/block2 is the
+only VM stack).  Reference: `src/main_vm/` — entry point
 `main_vm_entry_point` (`mod.rs:47-232`), per-cycle `vm_cycle`
 (`cycle.rs:28-795`), prestate (`pre_state.rs:71-519`), decoder
 (`decoded_opcode.rs:42-220`), and the 11 opcode appliers (`opcodes/*`).

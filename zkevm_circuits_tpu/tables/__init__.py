@@ -98,10 +98,16 @@ def create_uma_ptr_read_cleanup_table() -> np.ndarray:
 
 
 def create_opcode_decoding_table() -> np.ndarray:
-    """(n, 3): [opcode id, price, props bitmask] (VMOpcodeDecodingTable role)."""
-    from ..isa import opcodes_legacy as isa
+    """(2^11, 3): [variant index, ergs price, props bitspread] over the REAL
+    ISA decode table (VMOpcodeDecodingTable role, ref src/tables/* +
+    zkevm_opcode_defs OPCODES_TABLE; isa/opcodes.py synthesizes the table)."""
+    from ..isa import opcodes as isa
 
-    rows = [[op, isa.PRICES[op], isa.PROPS[op]] for op in sorted(isa.NAMES)]
+    n = 1 << isa.OPCODES_TABLE_WIDTH
+    rows = [
+        [i, isa.OPCODES_PRICES[i], isa.OPCODES_PROPS_INTEGER_BITMASKS[i]]
+        for i in range(n)
+    ]
     return np.asarray(rows, dtype=np.uint64)
 
 
@@ -117,17 +123,24 @@ ALL_TABLES = {
 
 
 def lookup_check(
-    table: np.ndarray, queries: jnp.ndarray, row_ids: jnp.ndarray
+    table: np.ndarray, queries, row_ids: jnp.ndarray
 ) -> jnp.ndarray:
     """Verify each queried tuple appears in the table.
 
-    table: (R, W) host array; queries: (n, W) u32/u64; row_ids: (n,) witness
-    row indices.  Returns (n,) bool — row-parallel gather + compare.
+    table: (R, W) host array; queries: (n, W) HOST u64 (x64 is disabled on
+    device, so 64-bit query values must arrive as numpy — a jnp array would
+    already have truncated them); row_ids: (n,) witness row indices.
+    Returns (n,) bool — row-parallel gather + compare on lo/hi u32 halves.
     """
-    tab = jnp.asarray(table.astype(np.uint64).astype(np.uint32))  # values < 2^32 here
+    # x64 is disabled: compare 64-bit table values as (lo, hi) u32 halves
+    t64 = table.astype(np.uint64)
+    q64 = np.asarray(queries, dtype=np.uint64)
+    tab_lo = jnp.asarray((t64 & 0xFFFFFFFF).astype(np.uint32))
+    tab_hi = jnp.asarray((t64 >> 32).astype(np.uint32))
+    q_lo = jnp.asarray((q64 & 0xFFFFFFFF).astype(np.uint32))
+    q_hi = jnp.asarray((q64 >> 32).astype(np.uint32))
     ids = jnp.clip(row_ids, 0, table.shape[0] - 1)
-    gathered = tab[ids]
-    return (gathered == queries.astype(jnp.uint32)).all(axis=-1)
+    return ((tab_lo[ids] == q_lo) & (tab_hi[ids] == q_hi)).all(axis=-1)
 
 
 def lookup_row_ids(table: np.ndarray, queries: np.ndarray) -> np.ndarray:
