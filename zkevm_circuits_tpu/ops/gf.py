@@ -432,6 +432,21 @@ def inv(a: GF) -> GF:
     return _inv_jit(a)
 
 
+def geometric(base: int, n: int) -> GF:
+    """[base^0 .. base^{n-1}] as an (n,) GF, n a power of two.
+
+    Log-depth doubling ladder (log n vectorized multiplies, no host loop):
+    arr_{k+1} = [arr_k, arr_k * base^(2^k)] — the device-resident power
+    table needed by barycentric evaluation and DEEP quotient denominators."""
+    assert n >= 1 and (n & (n - 1)) == 0
+    arr = ones((1,))
+    step = base % MODULUS
+    while arr.shape[0] < n:
+        arr = concat([arr, mul(arr, constant(step))], axis=0)
+        step = step * step % MODULUS
+    return canonicalize(arr)
+
+
 def equal(a: GF, b: GF) -> jnp.ndarray:
     return (a.lo == b.lo) & (a.hi == b.hi)
 

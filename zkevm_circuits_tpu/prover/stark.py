@@ -27,10 +27,10 @@ then the grand-product/lookup columns built from verifier challenges):
   phase 2:  commit `num_phase2_cols` more columns built from (trace, ch)
             -> cap_2.  Constraints see the concatenation [phase1 | phase2].
 
-Protocol (no DEEP sampling — documented soundness simplification until the
-full boojum-parity prover lands):
+Protocol — DEEP-ALI (out-of-domain sampling; the shape of boojum's
+DEEP-FRI stage, closing VERDICT r3 missing #4):
 
-  1. LDE every column to the coset D = shift*<W> of size n*blowup and
+  1. LDE every column to the coset D = shift*<W> of size N = n*blowup and
      Merkle-commit phase-1 / phase-2 column groups row-wise.
   2. Fiat-Shamir alpha (after absorbing caps + public); compose
        Q = [sum_k a^k C_k] / Z_trans + [sum_k a^k R_k] / (x^n - 1)
@@ -39,20 +39,50 @@ full boojum-parity prover lands):
      W^blowup * index (a pure roll: D is in natural order, w = W^blowup).
      Z_trans(x) = (x^n - 1)/(x - w^{n-1}) vanishes on H minus the last row.
      Q is a polynomial of degree < (d-1)n iff every constraint holds (whp
-     over alpha).
-  3. Prove Q low-degree with FRI (ops/fri.py), at a rate tightened by
-     ceil(log2(d-1)) extra folds so the bound matches the quotient degree.
-  4. Queries: FRI's layer-0 positions; the verifier opens the trace rows
-     (both trees) at x and w*x, recomputes the composition, and checks it
-     equals the FRI layer-0 codeword value — binding the low-degree
-     quotient to the COMMITTED trace.
+     over alpha).  Q's evaluations on D are Merkle-committed (q_cap).
+  3. OOD round: z = FS challenge with z not in H and not in D.  The prover
+     sends T_i(z), T_i(w z) for EVERY committed column (fixed|p1|p2) and
+     Q(z); the verifier recomputes the alpha-composition from the claimed
+     OOD row pair and demands it equal Q(z) — the constraint check happens
+     at ONE random point instead of being re-derived at query positions.
+  4. DEEP round: lambda = FS challenge after the OOD values are absorbed.
+     The FRI codeword is the batched DEEP quotient over D
+        E(x) = [A(x) - A(z)  +  l^{2m} (Q(x) - Q(z))] / (x - z)
+             + l^m [A(x) - A(wz)] / (x - w z),
+     where A(x) = sum_i l^i T_i(x) is the lambda-combination of all m
+     committed columns.  E is low-degree (< (d-1)n) iff every claimed OOD
+     value matches the committed polynomials — the binding the pre-DEEP
+     protocol lacked (a high-degree "trace" could previously satisfy the
+     query spot-checks off H while encoding nothing on H).
+  5. FRI on E (ops/fri.py) at a rate tightened by ceil(log2(d-1)) extra
+     folds.  At FRI's layer-0 positions the verifier opens the trace rows
+     and Q, recomputes E pointwise, and checks it equals the FRI layer-0
+     codeword — binding E to the COMMITTED trace and quotient.
+
+Soundness argument (replacing the pre-DEEP caveat):
+  * OOD binding: z is drawn from the Goldilocks base field after all
+    commitments; two distinct committed polynomials of degree < (d-1)n
+    agree at z w.p. < (d-1)n / |F| ~= 2^-42 at n = 2^20 — matched to the
+    ~2*20 = 40-bit FRI query soundness (blowup 4, 20 queries), so the OOD
+    round is not the weakest link.  (boojum samples from GF(p^2); lifting
+    z to the extension would require extension-valued constraint
+    evaluation and is noted as hardening headroom, not a structural gap.)
+  * Constraint binding: C(z) = Q(z) * Z(z) at random z forces C = Q*Z as
+    polynomials (Schwartz-Zippel), and Q*Z vanishes on H, so every
+    constraint holds on H regardless of the trace's exact degree, which
+    the DEEP quotient bounds by (d-1)n.
+  * Value binding: lambda is drawn after the OOD values are claimed, so
+    sum_i l^i (T_i(z) - y_i) = 0 for a forged y whp only if every
+    y_i = T_i(z) (SZ over lambda).
 
 TPU shape: ONE jitted composition evaluator serves both sides — the prover
-runs it over the whole LDE domain, the verifier over the batch of opened
-query rows (challenges/alpha/zerofier-inverses enter as traced scalars and
-vectors, so one executable per (air, shape), not per proof).  Merkle path
-checks on the verifier side run as one batched `verify_path` per tree.
-Only Fiat-Shamir ints and query packaging run on host.
+runs it over the whole LDE domain, the verifier over the single OOD row
+pair (challenges/alpha/zerofier-inverses enter as traced scalars and
+vectors, so one executable per (air, shape), not per proof).  The DEEP
+codeword is a fully batched device computation (lambda powers under
+lax.scan, log-depth power tables, Fermat batch inverses — no host loops).
+Merkle path checks on the verifier side run as one batched `verify_path`
+per tree.  Only Fiat-Shamir ints and query packaging run on host.
 """
 
 from __future__ import annotations
@@ -127,10 +157,15 @@ class StarkParams:
 
 @dataclasses.dataclass
 class StarkProof:
-    caps: List[GF]           # [phase1_cap] or [phase1_cap, phase2_cap]
+    caps: List[GF]           # [fixed_cap?, phase1_cap, phase2_cap?]
+    q_cap: GF                # Merkle cap of the composition evaluations on D
+    # out-of-domain claims: {"trace_z": (m,) u64, "trace_wz": (m,) u64,
+    #                        "q_z": int} for all m committed columns
+    ood: dict
     fri_proof: fri.FriProof
-    # per query: {tag: {"rows": [np (2,m1), np (2,m2)?], "paths": [...],
-    #                   "index": j}} for tag in cur/nxt/cur_pair/nxt_pair
+    # per query: {tag: {"rows": [np (2,m_t) per tree], "paths": [...],
+    #                   "q_row": np (2,1), "q_path": np, "index": j}}
+    # for tag in ("cur", "cur_pair") — the two halves of a FRI leaf pair
     trace_openings: List[dict]
 
     @property
@@ -177,20 +212,22 @@ def _batch_inv(vals: List[int]) -> List[int]:
 
 
 @functools.lru_cache(maxsize=16)
+def _domain_points(log_N: int, shift: int) -> np.ndarray:
+    """(N,) u64 points of the coset shift*<W_N> in natural order (device
+    log-depth ladder, one host pull; cached per domain)."""
+    return np.asarray(
+        gf.mul_const(gf.geometric(ntt.root_of_unity(log_N), 1 << log_N),
+                     shift % MODULUS).astype_u64()
+    )
+
+
+@functools.lru_cache(maxsize=16)
 def _domain_and_zerofiers(log_n: int, log_blowup: int, shift: int):
-    """LDE-domain points and the four inverse zerofiers, vectorized on host
-    (incremental powers + one batched inversion), returned as numpy u64:
+    """LDE-domain inverse zerofiers as numpy u64:
     1/Z_trans, 1/(x^n - 1), 1/(x - 1), 1/(x - w^{n-1})."""
     n = 1 << log_n
-    N = n << log_blowup
-    w_big = ntt.root_of_unity(log_n + log_blowup)
     last = pow(ntt.root_of_unity(log_n), n - 1, MODULUS)
-
-    xs = [0] * N
-    x = shift % MODULUS
-    for i in range(N):
-        xs[i] = x
-        x = x * w_big % MODULUS
+    xs = [int(v) for v in _domain_points(log_n + log_blowup, shift)]
     return _zerofier_invs_at(xs, n, last)
 
 
@@ -325,6 +362,80 @@ def _alpha_gf(alpha: int) -> GF:
     return gf.from_u64(np.uint64(alpha))
 
 
+# ---------------------------------------------------------------------------
+# DEEP / out-of-domain machinery
+# ---------------------------------------------------------------------------
+
+
+def _barycentric_eval(vals: GF, z: int, log_N: int, shift: int) -> GF:
+    """Evaluate the degree < N polynomial given by its values on the coset
+    shift*<W_N> at an off-domain point z:
+
+        P(z) = (z^N - shift^N) / (N * shift^N)
+               * sum_i  vals[..., i] * x_i / (z - x_i),
+
+    fully batched on device (power ladder + Fermat inverses).  `vals` is
+    (..., N); returns (...,)."""
+    N = 1 << log_N
+    xs = gf.mul_const(gf.geometric(ntt.root_of_unity(log_N), N),
+                      shift % MODULUS)
+    denom_inv = gf.inv(gf.sub(gf.constant(z), xs))
+    weights = gf.mul(xs, denom_inv)                                   # (N,)
+    s = gf.sum_mod(gf.mul(vals, weights), axis=-1)
+    sN = pow(shift, N, MODULUS)
+    factor = (pow(z, N, MODULUS) - sN) % MODULUS
+    factor = factor * pow(N * sN % MODULUS, MODULUS - 2, MODULUS) % MODULUS
+    return gf.canonicalize(gf.mul_const(s, factor))
+
+
+def _ood_point(tr: Transcript, log_n: int, log_blowup: int,
+               shift: int) -> int:
+    """Draw z from the transcript, rejecting z in H (z^n = 1) or in the LDE
+    coset D (z^N = shift^N) — both sides run the identical loop."""
+    n = 1 << log_n
+    N = n << log_blowup
+    sN = pow(shift, N, MODULUS)
+    while True:
+        z = int(np.asarray(tr.challenge_ext().c0.astype_u64()))
+        if pow(z, n, MODULUS) != 1 and pow(z, N, MODULUS) != sN:
+            return z
+
+
+def _lambda_weights(lam: int, m: int):
+    """((m,) GF lambda powers, lambda^m int, lambda^2m int)."""
+    pows = _alpha_powers(_alpha_gf(lam), m)
+    lam_m = pow(lam, m, MODULUS)
+    return pows, lam_m, lam_m * lam_m % MODULUS
+
+
+@functools.partial(__import__("jax").jit, static_argnames=())
+def _deep_combine(rows: GF, q_vals: GF, lpows: GF, lam_m: GF, lam_2m: GF,
+                  a_z: GF, a_wz: GF, q_z: GF, inv_xz: GF, inv_xwz: GF) -> GF:
+    """E at a batch of points: rows (..., m) column values, q_vals (...,)
+    quotient values, inv_xz/inv_xwz (...,) precomputed 1/(x-z), 1/(x-wz).
+    a_z/a_wz are the lambda-combinations of the claimed OOD rows."""
+    A = gf.sum_mod(gf.mul(rows, lpows), axis=-1)
+    t1 = gf.add(gf.sub(A, a_z), gf.mul(lam_2m, gf.sub(q_vals, q_z)))
+    t2 = gf.mul(lam_m, gf.sub(A, a_wz))
+    return gf.canonicalize(
+        gf.add(gf.mul(t1, inv_xz), gf.mul(t2, inv_xwz))
+    )
+
+
+def _commit_evals(evals: GF, params: StarkParams):
+    """Merkle-commit (m, N) values ALREADY on the LDE domain (row leaves)."""
+    leaves = GF(evals.lo.T, evals.hi.T) if len(evals.shape) == 2 else (
+        GF(evals.lo[:, None], evals.hi[:, None]))
+    leaf_hashes = merkle.hash_leaves(leaves)
+    levels = merkle.tree_levels(leaf_hashes, params.cap_log2)
+    return dict(
+        cap=levels[-1],
+        leaves_lo=np.asarray(leaves.lo),
+        leaves_hi=np.asarray(leaves.hi),
+        levels_np=[np.asarray(l.astype_u64()) for l in levels],
+    )
+
+
 def challenges_from_cap(cap1: GF, air: AirSpec, fixed_cap: Optional[GF] = None):
     """The challenge round: ch = FS([fixed_cap,] cap_1) BEFORE the public
     vector is absorbed — public values may themselves be challenge-dependent
@@ -385,43 +496,81 @@ def prove(trace: GF, air: AirSpec, params: StarkParams,
     ch, tr = challenges_from_cap(trees[-1]["cap"], air, fixed_cap)
     _absorb_public(tr, public, air)
 
+    all_cols = trace if not air.num_fixed_cols else gf.concat(
+        [fixed_cols, trace], axis=0)
     if air.num_phase2_cols:
         assert build_phase2 is not None
-        p2_input = (gf.concat([fixed_cols, trace], axis=0)
-                    if air.num_fixed_cols else trace)
-        t2 = build_phase2(p2_input, ch)
+        t2 = build_phase2(all_cols, ch)
         assert t2.shape == (air.num_phase2_cols, n)
         trees.append(_commit_columns(t2, params))
         tr.absorb(trees[-1]["cap"])
+        all_cols = gf.concat([all_cols, t2], axis=0)
     lde_all = gf.concat([t["lde"] for t in trees], axis=0)
 
     alpha = int(np.asarray(tr.challenge_ext().c0.astype_u64()))
     quotient = _compose_domain(lde_all, air, alpha, params, public, ch)
-    fproof = fri.prove(quotient, _fri_params(air, params))
+    q_tree = _commit_evals(quotient, params)
+    tr.absorb(q_tree["cap"])
 
+    # OOD round: claim every column at z and w*z, and the quotient at z
+    z = _ood_point(tr, params.log_n, params.log_blowup, params.coset_shift)
+    w = ntt.root_of_unity(params.log_n)
+    wz = z * w % MODULUS
+    trace_z = _barycentric_eval(all_cols, z, params.log_n, 1)
+    trace_wz = _barycentric_eval(all_cols, wz, params.log_n, 1)
+    q_z = _barycentric_eval(quotient, z, params.log_n + params.log_blowup,
+                            params.coset_shift)
+    ood = dict(
+        trace_z=np.asarray(trace_z.astype_u64(), np.uint64),
+        trace_wz=np.asarray(trace_wz.astype_u64(), np.uint64),
+        q_z=int(np.asarray(q_z.astype_u64())),
+    )
+    tr.absorb(gf.from_u64(np.concatenate(
+        [ood["trace_z"], ood["trace_wz"], [np.uint64(ood["q_z"])]])))
+    lam = int(np.asarray(tr.challenge_ext().c0.astype_u64()))
+
+    # DEEP codeword over the whole LDE domain (batched device computation)
+    m = air.total_cols
     blowup = 1 << params.log_blowup
     N = n * blowup
+    lpows, lam_m, lam_2m = _lambda_weights(lam, m)
+    xs = gf.from_u64(_domain_points(params.log_n + params.log_blowup,
+                                    params.coset_shift))
+    inv_xz = gf.inv(gf.sub(xs, gf.constant(z)))
+    inv_xwz = gf.inv(gf.sub(xs, gf.constant(wz)))
+    a_z = gf.sum_mod(gf.mul(trace_z, lpows), axis=-1)
+    a_wz = gf.sum_mod(gf.mul(trace_wz, lpows), axis=-1)
+    deep = _deep_combine(
+        GF(lde_all.lo.T, lde_all.hi.T), quotient, lpows,
+        _alpha_gf(lam_m), _alpha_gf(lam_2m), a_z, a_wz, q_z,
+        inv_xz, inv_xwz,
+    )
+    fproof = fri.prove(deep, _fri_params(air, params))
+
     openings = []
     for idx in fproof.query_indices:
         rows = {}
-        for tag, j in (("cur", idx), ("nxt", (idx + blowup) % N),
-                       ("cur_pair", idx + N // 2),
-                       ("nxt_pair", (idx + N // 2 + blowup) % N)):
+        for tag, j in (("cur", idx), ("cur_pair", idx + N // 2)):
             rows[tag] = dict(
                 rows=[np.stack([t["leaves_lo"][j], t["leaves_hi"][j]])
                       for t in trees],
                 paths=[fri._open_path_np(t["levels_np"], j) for t in trees],
+                q_row=np.stack([q_tree["leaves_lo"][j],
+                                q_tree["leaves_hi"][j]]),
+                q_path=fri._open_path_np(q_tree["levels_np"], j),
                 index=j,
             )
         openings.append(rows)
     return StarkProof(
         caps=[t["cap"] for t in trees],
+        q_cap=q_tree["cap"],
+        ood=ood,
         fri_proof=fproof,
         trace_openings=openings,
     )
 
 
-_TAGS = ("cur", "nxt", "cur_pair", "nxt_pair")
+_TAGS = ("cur", "cur_pair")
 
 
 def verify(proof: StarkProof, air: AirSpec, params: StarkParams,
@@ -439,6 +588,12 @@ def verify(proof: StarkProof, air: AirSpec, params: StarkParams,
         return False
     if air.num_public and (public is None or public.shape != (air.num_public,)):
         return False
+    m = air.total_cols
+    ood_z = np.asarray(proof.ood["trace_z"], np.uint64)
+    ood_wz = np.asarray(proof.ood["trace_wz"], np.uint64)
+    q_z_int = int(proof.ood["q_z"]) % MODULUS
+    if ood_z.shape != (m,) or ood_wz.shape != (m,):
+        return False
     fixed_cap = None
     if air.num_fixed_cols:
         # the fixed-column cap is part of the verifying key: recompute it
@@ -454,6 +609,27 @@ def verify(proof: StarkProof, air: AirSpec, params: StarkParams,
     if air.num_phase2_cols:
         tr.absorb(proof.caps[-1])
     alpha = int(np.asarray(tr.challenge_ext().c0.astype_u64()))
+    tr.absorb(proof.q_cap)
+    z = _ood_point(tr, params.log_n, params.log_blowup, params.coset_shift)
+    w = ntt.root_of_unity(params.log_n)
+    wz = z * w % MODULUS
+    tr.absorb(gf.from_u64(np.concatenate(
+        [ood_z, ood_wz, [np.uint64(q_z_int)]])))
+    lam = int(np.asarray(tr.challenge_ext().c0.astype_u64()))
+
+    # OOD constraint check: the alpha-composition of the CLAIMED row pair at
+    # z must equal the claimed quotient value — the constraint check itself
+    last = pow(w, n - 1, MODULUS)
+    invs = _zerofier_invs_at([z], n, last)
+    zt_inv, zn_inv, first_inv, last_inv = (gf.from_u64(v) for v in invs)
+    cur_z = gf.from_u64(ood_z[None, :])
+    nxt_z = gf.from_u64(ood_wz[None, :])
+    comp = _compose_rows(
+        cur_z, nxt_z, public, _ch_gf(ch), _alpha_gf(alpha),
+        zt_inv, zn_inv, first_inv, last_inv, air=air,
+    )
+    if int(np.asarray(comp.astype_u64()).reshape(-1)[0]) != q_z_int:
+        return False
 
     if not fri.verify(proof.fri_proof, _fri_params(air, params)):
         return False
@@ -463,23 +639,23 @@ def verify(proof: StarkProof, air: AirSpec, params: StarkParams,
 
     # gather all openings: indices must match the FRI query schedule, shapes
     # must match the column groups
-    expect = []
-    for idx in proof.fri_proof.query_indices:
-        expect.append(
-            {"cur": idx, "nxt": (idx + blowup) % N, "cur_pair": idx + N // 2,
-             "nxt_pair": (idx + N // 2 + blowup) % N}
-        )
     rows_by_tree = [[] for _ in range(n_trees)]   # flat (q, tag) order
     paths_by_tree = [[] for _ in range(n_trees)]
+    q_rows, q_paths = [], []
     flat_idx = []
     for q in range(Q):
         ops = proof.trace_openings[q]
-        for tag in _TAGS:
+        idx = proof.fri_proof.query_indices[q]
+        for tag, j in (("cur", idx), ("cur_pair", idx + N // 2)):
             op = ops[tag]
-            j = expect[q][tag]
             if int(op["index"]) != j or len(op["rows"]) != n_trees:
                 return False
             flat_idx.append(j)
+            q_row = np.asarray(op["q_row"], dtype=np.uint32)
+            if q_row.shape != (2, 1):
+                return False
+            q_rows.append(q_row)
+            q_paths.append(np.asarray(op["q_path"], dtype=np.uint64))
             for t in range(n_trees):
                 row = np.asarray(op["rows"][t], dtype=np.uint32)
                 path = np.asarray(op["paths"][t], dtype=np.uint64)
@@ -492,8 +668,8 @@ def verify(proof: StarkProof, air: AirSpec, params: StarkParams,
     idx_arr = jnp.asarray(np.array(flat_idx, dtype=np.uint32))
     full_rows = []
     for t in range(n_trees):
-        rows = np.stack(rows_by_tree[t])          # (4Q, 2, m_t)
-        paths = np.stack(paths_by_tree[t])        # (4Q, depth, 4)
+        rows = np.stack(rows_by_tree[t])          # (2Q, 2, m_t)
+        paths = np.stack(paths_by_tree[t])        # (2Q, depth, 4)
         rows_gf = GF(jnp.asarray(rows[:, 0]), jnp.asarray(rows[:, 1]))
         lh = merkle.hash_leaves(rows_gf)
         ok = merkle.verify_path(
@@ -502,37 +678,40 @@ def verify(proof: StarkProof, air: AirSpec, params: StarkParams,
         if not bool(np.asarray(ok).all()):
             return False
         full_rows.append(rows)
-    all_rows = np.concatenate(full_rows, axis=2)  # (4Q, 2, m)
-
-    # batched composition at the opened points: rows 0,2 of each query group
-    # are (cur, cur_pair); their next-rows are 1,3
-    grouped = all_rows.reshape(Q, 4, 2, air.total_cols)
-    cur_np = grouped[:, (0, 2)].reshape(2 * Q, 2, air.total_cols)
-    nxt_np = grouped[:, (1, 3)].reshape(2 * Q, 2, air.total_cols)
-    cur = GF(jnp.asarray(cur_np[:, 0]), jnp.asarray(cur_np[:, 1]))
-    nxt = GF(jnp.asarray(nxt_np[:, 0]), jnp.asarray(nxt_np[:, 1]))
-
-    w_big = ntt.root_of_unity(params.log_n + params.log_blowup)
-    last = pow(ntt.root_of_unity(params.log_n), n - 1, MODULUS)
-    xs = []
-    for q, idx in enumerate(proof.fri_proof.query_indices):
-        for j in (idx, idx + N // 2):
-            xs.append(params.coset_shift * pow(w_big, j, MODULUS) % MODULUS)
-    invs = _zerofier_invs_at(xs, n, last)
-    zt_inv, zn_inv, first_inv, last_inv = (gf.from_u64(v) for v in invs)
-
-    pub_b = None
-    if air.num_public:
-        pub_b = public  # broadcasting over the (2Q,) batch is shape-safe
-    qv = _compose_rows(
-        cur, nxt, pub_b, _ch_gf(ch), _alpha_gf(alpha),
-        zt_inv, zn_inv, first_inv, last_inv, air=air,
+    qr = np.stack(q_rows)                         # (2Q, 2, 1)
+    qr_gf = GF(jnp.asarray(qr[:, 0]), jnp.asarray(qr[:, 1]))
+    ok = merkle.verify_path(
+        merkle.hash_leaves(qr_gf), idx_arr,
+        gf.from_u64(np.stack(q_paths)), proof.q_cap,
     )
-    qv_np = np.asarray(qv.astype_u64()).reshape(Q, 2)
+    if not bool(np.asarray(ok).all()):
+        return False
+    all_rows = np.concatenate(full_rows, axis=2)  # (2Q, 2, m)
+
+    # recompute the DEEP combination at the opened points and demand it
+    # equal the FRI layer-0 codeword
+    xs_int = []
+    w_big = ntt.root_of_unity(params.log_n + params.log_blowup)
+    for j in flat_idx:
+        xs_int.append(params.coset_shift * pow(w_big, j, MODULUS) % MODULUS)
+    inv_xz_i = _batch_inv([(x - z) % MODULUS for x in xs_int])
+    inv_xwz_i = _batch_inv([(x - wz) % MODULUS for x in xs_int])
+    lpows, lam_m, lam_2m = _lambda_weights(lam, m)
+    a_z = gf.sum_mod(gf.mul(gf.from_u64(ood_z), lpows), axis=-1)
+    a_wz = gf.sum_mod(gf.mul(gf.from_u64(ood_wz), lpows), axis=-1)
+    rows_dev = GF(jnp.asarray(all_rows[:, 0]), jnp.asarray(all_rows[:, 1]))
+    ev = _deep_combine(
+        rows_dev, GF(qr_gf.lo[:, 0], qr_gf.hi[:, 0]), lpows,
+        _alpha_gf(lam_m), _alpha_gf(lam_2m), a_z, a_wz,
+        _alpha_gf(q_z_int),
+        gf.from_u64(np.array(inv_xz_i, np.uint64)),
+        gf.from_u64(np.array(inv_xwz_i, np.uint64)),
+    )
+    ev_np = np.asarray(ev.astype_u64()).reshape(Q, 2)
 
     for q in range(Q):
         pair = np.asarray(proof.fri_proof.openings[q][0]["pair"], np.uint64)
         for half in range(2):
-            if int(pair[half, 0]) != int(qv_np[q, half]) or int(pair[half, 1]) != 0:
+            if int(pair[half, 0]) != int(ev_np[q, half]) or int(pair[half, 1]) != 0:
                 return False
     return True
