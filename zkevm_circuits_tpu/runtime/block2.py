@@ -676,15 +676,29 @@ def execute_block2(
 
     # ------ proofs of the ClosedFormInput commitments themselves ---------
     # the recursion queue's payload per instance is (circuit_type,
-    # commit_encoding(compact_form)); proving the sponge makes the leaf
-    # publics proof-backed end to end
+    # commit_encoding(compact_form)); each instance's sponge proof is
+    # carried into a REAL leaf-layer check (prover/recursion_proofs.py, ref
+    # leaf_layer/mod.rs:150-198): verify the STARK, extract its public-input
+    # commitment from the proven publics, demand equality with the queued
+    # commitment and the pinned VK
     commitment_verdicts = {}
     if config.prove_commitments:
-        from ..prover import pipeline as stark_pipeline
+        from ..prover import recursion_proofs as rp
 
         for t in sorted(forms):
-            ok, _proofs = stark_pipeline.prove_instance_commitments(forms[t])
-            commitment_verdicts[t] = ok
+            cf = forms[t]
+            carried = rp.make_carried_proofs(cf)
+            k = len(carried)
+            checks = rp.leaf_layer_verify_starks(
+                t,
+                gf.full((k,), t),
+                cf.commitment().reshape((k, 4)),
+                jnp.ones(k, dtype=bool),
+                carried,
+            )
+            commitment_verdicts[t] = all(
+                bool(np.asarray(v).all()) for v in checks.values()
+            )
 
     # ---------------- the scheduler ----------------
     sched = None
