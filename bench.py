@@ -1,20 +1,25 @@
-"""Benchmark: Goldilocks constraint-eval rows/sec/chip on ram_permutation.
+"""Benchmark suite: one JSON line per headline metric (VERDICT r3 item 6).
 
-The operative baseline (BASELINE.md): the reference publishes no numbers; the
-unit of work is a 2^20-row trace of the permutation-argument circuit
-(reference dev-test geometry, src/ram_permutation/mod.rs:419-497).  Per row
-the check costs 2 Poseidon2-Goldilocks permutations (both queue chains), 2x2
-grand-product FMA folds over 8-element encodings, the 96-bit sort comparison
-and RW-semantics selects — the same work check_if_satisfied performs per row
-on CPU.
+Emitted metrics (each line: {"metric", "value", "unit", "vs_baseline"}):
 
-Baseline constant: an optimized Rust CPU implementation of this per-row work
-is dominated by the two Poseidon2 permutations (~0.4-0.6 us each per core,
-plonky2/boojum-class implementations) => ~8e5 rows/s/core.  Recorded in
-BASELINE.md as an estimate pending a real Rust measurement (no Rust toolchain
-in this environment).
+  1. main_vm v2 constraint-eval cycles/s/chip (2^16-cycle witness) — the
+     flagship circuit: every opcode-family check, queue sponges, callstack
+     sponge, decode and continuity per cycle (models/vm/circuit.py; the
+     per-cycle budget of `src/main_vm/cycle.rs:28-795`).
+  2. STARK prover throughput: grand-product permutation argument at 2^16
+     rows, prove+verify wall (prover/stark.py DEEP-ALI pipeline — LDE,
+     row-Merkle, composition, OOD, FRI; ref `src/utils.rs:81-137` relation).
+  3. ram_permutation constraint-eval rows/s/chip (2^20-row trace) — LAST so
+     the driver's parsed line stays the round-over-round comparable number.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baselines (no published reference numbers exist — BASELINE.md):
+  * ram row check: max(measured native scalar C++ floor, 8e5 rows/s/core
+    AVX-class estimate) — unchanged from round 2.
+  * main_vm cycle: ~8 Poseidon2 perms + 512-bit mul relations + decode per
+    cycle ≈ 4 us/core on an optimized CPU => 2.5e5 cycles/s/core (documented
+    estimate, same method as the ram figure).
+  * STARK prove at 8 columns: LDE NTTs + 2^18-leaf Merkle (Poseidon2) + FRI
+    ≈ 0.4 s single-core optimized => 1.5e5 rows/s/core (documented estimate).
 """
 
 import json
@@ -23,14 +28,25 @@ import time
 
 import numpy as np
 
-# Operative baseline: an AVX-class optimized Rust CPU implementation
-# (plonky2/boojum Poseidon2 at ~0.4-0.6 us/perm). Our OWN scalar-C++ runtime
-# measures the same per-row work at startup (native.ram_row_check_baseline)
-# as a hard measured floor; vs_baseline is reported against the LARGER of
-# the two so the headline can never flatter itself against an unoptimized
-# stand-in.
-BASELINE_ROWS_PER_SEC_PER_CORE = 8.0e5
-LOG2_ROWS = 20
+BASELINE_RAM_ROWS_PER_SEC_PER_CORE = 8.0e5
+BASELINE_VM_CYCLES_PER_SEC_PER_CORE = 2.5e5
+BASELINE_PROVE_ROWS_PER_SEC_PER_CORE = 1.5e5
+LOG2_RAM_ROWS = 20
+LOG2_VM_CYCLES = 16
+LOG2_PROVE_ROWS = 16
+
+
+def emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 3),
+    }), flush=True)
+
+
+def detail(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
 
 def build_tapes_np(n):
@@ -53,20 +69,92 @@ def build_tapes_np(n):
     return unsorted_t, sorted_t
 
 
-def main():
+def bench_main_vm():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from zkevm_circuits_tpu.isa import opcodes as isa
+    from zkevm_circuits_tpu.models import vm
+
+    n = 1 << LOG2_VM_CYCLES
+    enc = isa.encode_instruction
+    SET = 1 << isa.SET_FLAGS_FLAG_IDX
+    SWAP = 1 << isa.SWAP_OPERANDS_FLAG_IDX_FOR_ARITH_OPCODES
+    prog = [
+        enc(isa.ADD, src_mode=isa.SRC_IMM, imm0=0xFFFF, src1=0, dst0=1),
+        enc(isa.SUB, src_mode=isa.SRC_IMM, imm0=1, src1=1, dst0=1,
+            flags=SET | SWAP),
+        enc(isa.MUL, src0=1, src1=1, dst0=2, dst1=3),
+        enc(isa.BINOP, isa.BINOP_XOR, src0=2, src1=1, dst0=4),
+        enc(isa.JUMP, src_mode=isa.SRC_IMM, imm0=1, condition=isa.COND_NE),
+        enc(isa.RET, isa.RET_OK),
+    ]
+    t0 = time.time()
+    v = vm.EraVM(vm.assemble_code_words(prog), n)
+    w = v.run()
+    sim_s = time.time() - t0
+    dw = vm.prepare_device_witness(w)
+    jax.block_until_ready(dw["regs"])
+
+    t0 = time.time()
+    res = vm.eval_constraints_jit(dw, n)
+    ok = all(bool(np.asarray(r).all()) for r in res.values())
+    first_s = time.time() - t0
+    assert ok, [k for k, r in res.items() if not np.asarray(r).all()]
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        res = vm.eval_constraints_jit(dw, n)
+    jax.block_until_ready(jax.tree_util.tree_leaves(res)[0])
+    check_s = (time.time() - t0) / reps
+    emit(
+        f"main_vm v2 constraint-eval cycles/s/chip (2^{LOG2_VM_CYCLES} cycles)",
+        n / check_s, "cycles/s", BASELINE_VM_CYCLES_PER_SEC_PER_CORE,
+    )
+    detail(f"main_vm: eval={check_s*1000:.1f}ms (first {first_s:.1f}s), "
+           f"sim={sim_s:.1f}s host")
+    return w
+
+
+def bench_prover():
+    import jax
+
+    from zkevm_circuits_tpu.models import ram_permutation as ram
+    from zkevm_circuits_tpu.prover import pipeline
+
+    n = 1 << LOG2_PROVE_ROWS
+    unsorted_t, sorted_t = build_tapes_np(n)
+    cfg = ram.RamPermutationConfig(limit=n, chain_stride=512)
+    w = ram.generate_witness_host_tapes(unsorted_t, sorted_t, cfg)
+
+    t0 = time.time()
+    ok, proof, public, params = pipeline.prove_sorter_argument(w)
+    first_s = time.time() - t0
+    assert ok, "prover bench: proof must verify"
+
+    t0 = time.time()
+    ok, proof, public, params = pipeline.prove_sorter_argument(w)
+    steady_s = time.time() - t0
+    assert ok
+    emit(
+        f"grand-product STARK prove+verify rows/s/chip (2^{LOG2_PROVE_ROWS} rows)",
+        n / steady_s, "rows/s", BASELINE_PROVE_ROWS_PER_SEC_PER_CORE,
+    )
+    detail(f"prover: prove+verify={steady_s:.2f}s (first {first_s:.1f}s), "
+           f"log_n={params.log_n}, queries={params.num_queries}")
+
+
+def bench_ram():
+    import jax
+
     from zkevm_circuits_tpu.models import ram_permutation as ram
     from zkevm_circuits_tpu.runtime import native
 
     measured_baseline = native.ram_row_check_baseline()
-    baseline = max(measured_baseline, BASELINE_ROWS_PER_SEC_PER_CORE)
+    baseline = max(measured_baseline, BASELINE_RAM_ROWS_PER_SEC_PER_CORE)
 
-    n = 1 << LOG2_ROWS
+    n = 1 << LOG2_RAM_ROWS
     unsorted_t, sorted_t = build_tapes_np(n)
-    # segment-boundary chain witnesses: ~512x less host->device chain traffic;
-    # the check re-derives segments on device in parallel
     cfg = ram.RamPermutationConfig(limit=n, chain_stride=512)
 
     def gen():
@@ -98,24 +186,28 @@ def main():
     jax.block_until_ready(ok)
     check_s = (time.time() - t0) / reps
 
-    rows_per_sec = n / check_s
-    result = {
-        "metric": "ram_permutation constraint-eval rows/sec/chip (2^20-row trace)",
-        "value": round(rows_per_sec, 1),
-        "unit": "rows/s",
-        "vs_baseline": round(rows_per_sec / baseline, 3),
-    }
-    print(json.dumps(result))
-    print(
-        f"# details: check={check_s*1000:.1f}ms (first {check_first:.1f}s), "
+    emit(
+        "ram_permutation constraint-eval rows/sec/chip (2^20-row trace)",
+        n / check_s, "rows/s", baseline,
+    )
+    detail(
+        f"ram: check={check_s*1000:.1f}ms (first {check_first:.1f}s), "
         f"witness-gen={witness_s:.2f}s (first {witness_first:.1f}s), "
         f"witness rows/s={n/witness_s:.0f} (vs baseline "
         f"{n/witness_s/baseline:.2f}x), "
         f"baseline=max(measured {measured_baseline:.0f}, est "
-        f"{BASELINE_ROWS_PER_SEC_PER_CORE:.0f}) rows/s/core, "
-        f"device={jax.devices()[0]}",
-        file=sys.stderr,
+        f"{BASELINE_RAM_ROWS_PER_SEC_PER_CORE:.0f}) rows/s/core"
     )
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    detail(f"device={jax.devices()[0]}")
+    bench_main_vm()
+    bench_prover()
+    bench_ram()  # LAST: the driver's parsed headline line
 
 
 if __name__ == "__main__":

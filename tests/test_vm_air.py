@@ -57,8 +57,8 @@ def test_residuals_vanish(witness):
 
 def test_prove_and_verify(witness):
     w, limit = witness
-    proof, s_in, s_out, params = vm_air.prove_vm_core(w, limit)
-    assert vm_air.verify_vm_core(proof, s_in, s_out, params)
+    proof, s_in, s_out, code_reads, params = vm_air.prove_vm_core(w, limit)
+    assert vm_air.verify_vm_core(proof, s_in, s_out, code_reads, params)
 
 
 def test_tampered_register_breaks_proof(witness):
@@ -83,20 +83,99 @@ def test_tampered_register_breaks_proof(witness):
     cap_f = _commit_columns(fixed, params)["cap"]
     cap_1 = _commit_columns(bad_trace, params)["cap"]
     ch, _ = challenges_from_cap(cap_1, air, cap_f)
-    public = _boundary_publics(s_in, s_out, ch[_RLC])
+    code_reads = vm_air.code_read_queries(w, limit)
+    public = _boundary_publics(s_in, s_out, ch[_RLC],
+                               vm_air.stream_rlc(code_reads, ch[vm_air._MQ]))
     try:
         proof = prove(bad_trace, air, params, public,
                       build_phase2=_build_phase2, fixed_cols=fixed)
     except AssertionError:
         return  # prover refused: the quotient is not low-degree
-    assert not vm_air.verify_vm_core(proof, s_in, s_out, params)
+    assert not vm_air.verify_vm_core(proof, s_in, s_out, code_reads, params)
+
+
+@pytest.fixture(scope="module")
+def alu_witness():
+    """Exercises every proven ALU family: mul (small + 512-bit overflow),
+    div (normal + by-zero), all four shifts (incl. ror-by-0), all binops."""
+    big = (1 << 256) - 1
+    prog = [
+        enc(isa.ADD, src_mode=isa.SRC_IMM, imm0=0xBEEF, src1=0, dst0=1),
+        enc(isa.MUL, src0=1, src1=1, dst0=2, dst1=3, flags=SET_FLAGS),
+        enc(isa.MUL, src0=7, src1=7, dst0=4, dst1=5, flags=SET_FLAGS),
+        enc(isa.DIV, src0=7, src1=1, dst0=6, dst1=8, flags=SET_FLAGS),
+        enc(isa.DIV, src0=1, src1=9, dst0=10, dst1=11, flags=SET_FLAGS),
+        enc(isa.SHIFT, isa.SHIFT_SHL, src0=7, src1=1, dst0=12),
+        enc(isa.SHIFT, isa.SHIFT_SHR, src0=7, src1=1, dst0=13,
+            flags=SET_FLAGS),
+        enc(isa.SHIFT, isa.SHIFT_ROL, src0=7, src1=1, dst0=14),
+        enc(isa.SHIFT, isa.SHIFT_ROR, src0=7, src1=9, dst0=12),
+        enc(isa.SHIFT, isa.SHIFT_ROR, src0=7, src1=1, dst0=12),
+        enc(isa.BINOP, isa.BINOP_AND, src0=7, src1=2, dst0=12,
+            flags=SET_FLAGS),
+        enc(isa.BINOP, isa.BINOP_OR, src0=7, src1=2, dst0=12),
+        enc(isa.BINOP, isa.BINOP_XOR, src0=7, src1=7, dst0=12,
+            flags=SET_FLAGS),
+        enc(isa.RET, isa.RET_OK),
+    ]
+    return _run(prog, limit=24,
+                regs={1: 0xBEEF, 7: big - 0x1234567890}), 24
+
+
+def test_alu_residuals_vanish(alu_witness):
+    w, limit = alu_witness
+    bad = vm_air.debug_residuals(w, limit)
+    assert not bad, bad
+
+
+def test_alu_prove_and_verify(alu_witness):
+    w, limit = alu_witness
+    proof, s_in, s_out, code_reads, params = vm_air.prove_vm_core(w, limit)
+    assert vm_air.verify_vm_core(proof, s_in, s_out, code_reads, params)
+
+
+def test_forged_product_breaks_proof(alu_witness):
+    """Claim a wrong MUL product limb (trace cell flip on the multiplier
+    output bytes): the multiplier relation fails — the prover's own FRI
+    refuses or verification rejects."""
+    w, limit = alu_witness
+    phase1, fixed, log_n = vm_air.vm_core_trace(w, limit)
+    air = vm_air.vm_core_air()
+    params = StarkParams(log_n=log_n)
+    _, p1, _, _ = vm_air.layout()
+    cols = np.asarray(phase1.astype_u64(), np.uint64)
+    # row 2 is the big MUL: flip a product-low byte claim (both the
+    # committed dst byte and the multiplier's zl byte, consistently)
+    row = 2
+    assert cols[p1.at("et", isa.MUL), row] == 1
+    cols[p1.at("mzl_b", 5), row] ^= np.uint64(1)
+    cols[p1.at("dst0_b", 5), row] ^= np.uint64(1)
+    bad_trace = gf.from_u64(cols)
+    s_in, s_out = vm_air.boundary_state_vectors(bad_trace)
+    from zkevm_circuits_tpu.prover.stark import (_commit_columns,
+                                                 challenges_from_cap)
+    from zkevm_circuits_tpu.prover.vm_air import (_RLC, _boundary_publics,
+                                                  _build_phase2)
+
+    cap_f = _commit_columns(fixed, params)["cap"]
+    cap_1 = _commit_columns(bad_trace, params)["cap"]
+    ch, _ = challenges_from_cap(cap_1, air, cap_f)
+    code_reads = vm_air.code_read_queries(w, limit)
+    public = _boundary_publics(s_in, s_out, ch[_RLC],
+                               vm_air.stream_rlc(code_reads, ch[vm_air._MQ]))
+    try:
+        proof = prove(bad_trace, air, params, public,
+                      build_phase2=_build_phase2, fixed_cols=fixed)
+    except AssertionError:
+        return
+    assert not vm_air.verify_vm_core(proof, s_in, s_out, code_reads, params)
 
 
 def test_wrong_boundary_state_rejected(witness):
     """The publics bind the FSM boundary state: claiming a different final
     register value fails verification."""
     w, limit = witness
-    proof, s_in, s_out, params = vm_air.prove_vm_core(w, limit)
+    proof, s_in, s_out, code_reads, params = vm_air.prove_vm_core(w, limit)
     forged = s_out.copy()
     forged[-1] ^= np.uint64(1)
-    assert not vm_air.verify_vm_core(proof, s_in, forged, params)
+    assert not vm_air.verify_vm_core(proof, s_in, forged, code_reads, params)

@@ -121,6 +121,25 @@ class KeccakRoundWitness:
         return cls(*children)
 
 
+def call_payloads(calls: list, memory: dict) -> list:
+    """The PLAINTEXT input byte stream of each precompile call (the bytes
+    the in-circuit keccak absorbs) — public data the digest STARK
+    (prover/keccak_air.py) binds via its message RLC."""
+    out = []
+    for call in calls:
+        key = int(call["key"])
+        limbs = [(key >> (32 * k)) & 0xFFFFFFFF for k in range(8)]
+        off, length = limbs[0], limbs[1]
+        in_page = limbs[4]
+        first_word = off // 32
+        last_word = (off + length - 1) // 32 if length else first_word
+        data = bytearray()
+        for wi in range(first_word, last_word + 1):
+            data += memory.get((in_page, wi), b"\x00" * 32)
+        out.append(bytes(data[off % 32 : off % 32 + length]))
+    return out
+
+
 def generate_witness(
     calls: list,
     memory: dict,

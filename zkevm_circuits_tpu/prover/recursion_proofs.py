@@ -130,6 +130,55 @@ def carried_to_batch(carried: Sequence[CarriedProof]) -> recursion.ProofBatch:
     )
 
 
+@dataclasses.dataclass
+class NodeInFieldProof:
+    """A node-level STARK proving the verification of its children's FRI
+    query phase IN-FIELD (prover/verifier_air.py) — VERDICT r3 item 1 step
+    2: "this node verified its children" becomes a provable statement.
+
+    Outer checks kept host-side (documented in verifier_air.py): the
+    public-coin FS replay and the DEEP-combine binding; `node_verify` runs
+    them via the ordinary child verifier, and additionally demands the
+    in-field proof of the query phase."""
+
+    vproof: StarkProof
+    vparams: StarkParams
+    child_fri_params: tuple
+
+
+def node_prove_in_field(children: Sequence[CarriedProof]) -> NodeInFieldProof:
+    """Produce the node's verifier STARK over its children's FRI proofs.
+    Raises if any child proof is invalid — a node cannot honestly claim to
+    have verified a bad child."""
+    from . import poseidon2_air as pa
+    from .stark import _fri_params
+    from . import verifier_air as va
+
+    fri_ps = tuple(
+        _fri_params(pa.chain_air(pa.FULL), cp.params) for cp in children
+    )
+    fri_proofs = [cp.proof.fri_proof for cp in children]
+    vproof, _publics, vparams = va.prove_fri_verification(fri_proofs, fri_ps)
+    return NodeInFieldProof(vproof, vparams, fri_ps)
+
+
+def node_verify_in_field(node: NodeInFieldProof,
+                         children: Sequence[CarriedProof]) -> bool:
+    """The node check: every child verifies under the ordinary verifier
+    (cheap outer parts) AND the in-field STARK proves the query-phase
+    verification of EXACTLY these children's FRI proofs (the publics are
+    rebuilt from the children, so a swapped/tampered child fails)."""
+    from . import verifier_air as va
+
+    for cp in children:
+        if verify_carried(cp) is None:
+            return False
+    fri_proofs = [cp.proof.fri_proof for cp in children]
+    return va.verify_fri_verification(
+        node.vproof, fri_proofs, node.child_fri_params, node.vparams
+    )
+
+
 def leaf_layer_verify_starks(
     circuit_type: int,
     queue_types: GF,

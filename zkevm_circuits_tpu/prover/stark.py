@@ -140,6 +140,14 @@ class AirSpec:
     # combined value directly.  Used identically by prover and verifier, so
     # consistency is by construction.
     compose_row: Optional[Callable] = None
+    # Public-aware variants (prover/verifier_air.py): public values are
+    # transcript-bound SCALARS, so using them inside row/transition
+    # constraints adds no trace degree.  When set, these are used INSTEAD of
+    # compose_row / constraints and receive the public vector:
+    #   compose_row_pub(cur, public, ch, alpha, a_pow)
+    #   constraints_pub(cur, nxt, public, ch)
+    compose_row_pub: Optional[Callable] = None
+    constraints_pub: Optional[Callable] = None
 
     @property
     def total_cols(self) -> int:
@@ -313,9 +321,16 @@ def _compose_rows(cur: GF, nxt: GF, public: Optional[GF], ch: GF, alpha: GF,
     inverse zerofiers evaluated at their domain points.  Shared by the
     prover (whole LDE domain) and the verifier (opened query rows)."""
     a_pow = gf.ones(())
-    t_acc, a_pow = _alpha_sum(air.constraints(cur, nxt, ch), alpha, a_pow)
+    if air.constraints_pub is not None:
+        t_vals = air.constraints_pub(cur, nxt, public, ch)
+    else:
+        t_vals = air.constraints(cur, nxt, ch)
+    t_acc, a_pow = _alpha_sum(t_vals, alpha, a_pow)
     comp = gf.mul(t_acc, zt_inv)
-    if air.compose_row is not None:
+    if air.compose_row_pub is not None:
+        r_acc, a_pow = air.compose_row_pub(cur, public, ch, alpha, a_pow)
+        comp = gf.add(comp, gf.mul(r_acc, zn_inv))
+    elif air.compose_row is not None:
         r_acc, a_pow = air.compose_row(cur, ch, alpha, a_pow)
         comp = gf.add(comp, gf.mul(r_acc, zn_inv))
     elif air.row_constraints is not None:

@@ -31,10 +31,23 @@ AIR-PROVEN in v1 (each mirrors models/vm/circuit.py, cited inline):
   * boundary state binding: publics = challenge-RLC of the full state
     column set at the first and last row (the instance's FSM input/output)
 
+AIR-PROVEN in v2 (this round, VERDICT r3 item 2):
+  * MUL/DIV 256x256->512 multiplier relation over u16 limbs with byte-
+    decomposed carries (the reference's 64-step U8x4FMA relation,
+    `opcodes/mod.rs:129-180`), incl. div-by-zero masking, the r < b borrow
+    comparator, and full flag semantics (of = hi!=0 / b==0, eq, gt)
+  * SHIFT shl/shr/rol/ror via the same multiplier with y = 2^f built from
+    (f = 16q + r) one-hots; shr uses q*2^f + r = a with r < 2^f
+    (`opcodes/shifts.rs`)
+  * BINOP and/or/xor over committed operand bit decompositions
+    (or = a+b-ab per bit; xor = or - and) (`opcodes/binop.rs`)
+  * generalized flag transition: every ALU family supplies committed
+    nf_of/nf_eq/nf_gt values bound per family
+
 EVALUATOR-CHECKED still (documented gaps; the row-parallel evaluator
 `models/vm/circuit.py` remains the completeness checker for these):
 memory/storage/log queue sponge binding (covered separately by the
-Poseidon2 chain STARKs), UMA/log/far_call/ret/mul/div/shift/binop value
+Poseidon2 chain STARKs), UMA/log/far_call/ret value
 semantics, stack-addressed operands, pointer erasure on pointer-valued
 sources, callstack sponge contents, sp evolution.  Each omitted relation is
 masked by opcode-family selectors so the proven constraints NEVER vacuously
@@ -156,6 +169,29 @@ def layout() -> Tuple[_Reg, _Reg, _Reg, List[str]]:
     p1.add("ret_pc")
     p1.add("j_lo16"); p1.add("j_hi16"); p1.add("j_b", 4)
     p1.add("pc_wrap")
+    # ---- ALU value semantics (mul/div/shift/binop; cycle.rs:632-795,
+    # opcodes/mul_div.rs, opcodes/shifts.rs, opcodes/binop.rs) ----
+    p1.add("src0_b", 32); p1.add("src1_b", 32); p1.add("dst1_b", 32)
+    # shared 256x256->512 multiplier block: z = x*y + a over u16 limbs
+    # (the reference's 64-step U8x4FMA relation, opcodes/mod.rs:129-180)
+    p1.add("mx_b", 32); p1.add("my_b", 32); p1.add("ma_b", 32)
+    p1.add("mzl_b", 32); p1.add("mzh_b", 32)
+    p1.add("mc_b", 93)   # 31 u16-position carries x 3 bytes (< 2^21 honest)
+    # shared borrow-chain comparator (div: r < b; shr: r < 2^f)
+    p1.add("cmp_d_b", 32); p1.add("cmp_brw", 8); p1.add("cmp_act")
+    # shift amount machinery: 2^f via (f = 16q + r) one-hots
+    p1.add("sh_q", 16); p1.add("sh_r", 16)
+    p1.add("sh_nz"); p1.add("sh_nz_inv"); p1.add("sh_rnz"); p1.add("sh_full")
+    # binop bit decomposition of both operands
+    p1.add("bb0", 256); p1.add("bb1", 256)
+    p1.add("bop_and"); p1.add("bop_or"); p1.add("bop_xor")
+    # zero certificates: src1 == 0 (div-by-zero), dst1 == 0 (mul hi / div r)
+    p1.add("s1z"); p1.add("s1z_inv"); p1.add("d1z"); p1.add("d1z_inv")
+    # per-family next-flag values consumed by the flags transition
+    p1.add("nf_of"); p1.add("nf_eq"); p1.add("nf_gt")
+    # byte split of cw_sel limbs 5..7 for the memory-query 8-wide packing
+    # (base_structures/memory_query.py; ref memory_query/mod.rs:103-221)
+    p1.add("cw_b", 12)
     p1.add("m_decode"); p1.add("m_cond"); p1.add("m_byte")
 
     p2 = _Reg()
@@ -164,6 +200,9 @@ def layout() -> Tuple[_Reg, _Reg, _Reg, List[str]]:
     p2.add("inv_qb", len(_byte_query_names()))
     p2.add("inv_tb")
     p2.add("acc")
+    # code-read memory-query stream RLC (accumulator BEFORE this row):
+    # binds the executed code words to the PUBLIC memory tape subset
+    p2.add("macc")
     return fx, p1, p2, state_names
 
 
@@ -177,6 +216,12 @@ def _byte_query_names() -> List[Tuple[str, int]]:
     out += [("imm1_b", j) for j in range(2)]
     out += [("spc_b", j) for j in range(2)]
     out += [("j_b", j) for j in range(4)]
+    for nm in ("src0_b", "src1_b", "dst1_b", "mx_b", "my_b", "ma_b",
+               "mzl_b", "mzh_b"):
+        out += [(nm, j) for j in range(32)]
+    out += [("mc_b", j) for j in range(93)]
+    out += [("cmp_d_b", j) for j in range(32)]
+    out += [("cw_b", j) for j in range(12)]
     return out
 
 
@@ -191,8 +236,11 @@ _BOOL_COLS = [
     "f_of", "f_eq", "f_gt", "pending", "is_kernel", "is_static",
 ]
 _BOOL_COLS += ["gap0", "gap1"]
+_BOOL_COLS += ["cmp_act", "sh_nz", "sh_rnz", "s1z", "d1z",
+               "nf_of", "nf_eq", "nf_gt", "bop_and", "bop_or", "bop_xor"]
 _BOOL_SPANS = ["subpc_oh", "enc_bits", "pb", "et", "ev", "ef", "es", "ed",
-               "sel0", "sel1", "wsel0", "wsel1", "carry"]
+               "sel0", "sel1", "wsel0", "wsel1", "carry",
+               "cmp_brw", "sh_q", "sh_r", "bb0", "bb1"]
 
 
 # ---------------------------------------------------------------------------
@@ -585,6 +633,36 @@ def vm_core_trace(w: dict, limit: int) -> Tuple[GF, GF, int]:
         m = other & wsel0[k].astype(bool)
         for l in range(8):
             d0[l] = np.where(m, regs_next[8 * k + l], d0[l])
+    # ALU families: dst0 is the family RESULT value (bound by the mul/shift/
+    # binop relations below), independent of the write destination
+    fam0 = np.zeros((8, n), np.uint64)
+    fam1 = np.zeros((8, n), np.uint64)
+    fam0[:, :total] = _np_w(w, "fam_res0")[:total].astype(np.uint64).T
+    fam1[:, :total] = _np_w(w, "fam_res1")[:total].astype(np.uint64).T
+
+    def etcol(t):
+        return C[p1.at("et", t)].astype(bool)
+
+    def evcol(j):
+        return C[p1.at("ev", j)].astype(bool)
+
+    is_mulr, is_divr = etcol(isa.MUL), etcol(isa.DIV)
+    is_shiftr, is_binr = etcol(isa.SHIFT), etcol(isa.BINOP)
+    is_shl_r = is_shiftr & evcol(isa.SHIFT_SHL)
+    is_shr_r = is_shiftr & evcol(isa.SHIFT_SHR)
+    is_cyc_r = is_shiftr & (evcol(isa.SHIFT_ROL) | evcol(isa.SHIFT_ROR))
+    bin_r = np.zeros((8, n), np.uint64)
+    is_and_r = is_binr & evcol(isa.BINOP_AND)
+    is_or_r = is_binr & evcol(isa.BINOP_OR)
+    is_xor_r = is_binr & evcol(isa.BINOP_XOR)
+    for l in range(8):
+        bin_r[l] = np.where(is_and_r, s0v[l] & s1v[l],
+                            np.where(is_or_r, s0v[l] | s1v[l],
+                                     np.where(is_xor_r, s0v[l] ^ s1v[l], 0)))
+    shift_r = np.where(is_cyc_r[None], fam0 | fam1, fam0)
+    d0 = np.where((is_mulr | is_divr)[None], fam0, d0)
+    d0 = np.where(is_shiftr[None], shift_r, d0)
+    d0 = np.where(is_binr[None], bin_r, d0)
     C[p1.sl("dst0_val")] = d0
     for l in range(8):
         for b in range(4):
@@ -601,6 +679,7 @@ def vm_core_trace(w: dict, limit: int) -> Tuple[GF, GF, int]:
             d1v[l] = np.where(m1, regs_next[8 * k + l], d1v[l])
         d1p = np.where(m1, ptr_cols_next(k, w, total, n), d1p)
     C[p1.at("d0ptr")] = d0p
+    d1v = np.where((is_mulr | is_divr)[None], fam1, d1v)
     C[p1.sl("dst1_val")] = d1v
     C[p1.at("d1ptr")] = d1p
 
@@ -608,8 +687,145 @@ def vm_core_trace(w: dict, limit: int) -> Tuple[GF, GF, int]:
     as_eq = (dsum == 0).astype(np.uint64)
     C[p1.at("as_eq")] = as_eq
     C[p1.at("as_sum_inv")] = _inv_or_zero(dsum)
-    C[p1.at("as_gt")] = (1 - carries[7]) * as_eq_not(as_eq)
-    C[p1.at("upd_flags")] = (et(isa.ADD) + et(isa.SUB)) * C[p1.at("ef", 0)]
+    as_gt = (1 - carries[7]) * as_eq_not(as_eq)
+    C[p1.at("as_gt")] = as_gt
+    is_alu6 = (et(isa.ADD) + et(isa.SUB) + et(isa.MUL) + et(isa.DIV)
+               + et(isa.SHIFT) + et(isa.BINOP))
+    C[p1.at("upd_flags")] = is_alu6 * C[p1.at("ef", 0)]
+
+    # ---- ALU value-semantics blocks (mul/div/shift/binop) ----
+    def put_bytes(name, limbs):
+        """(8, n) u32-valued limbs -> 32 byte columns."""
+        for l in range(8):
+            for bb in range(4):
+                C[p1.at(name, 4 * l + bb)] = (limbs[l] >> (8 * bb)) & 0xFF
+
+    put_bytes("src0_b", s0v)
+    put_bytes("src1_b", s1v)
+    put_bytes("dst1_b", d1v)
+
+    s1sum = s1v.sum(0)  # < 2^35 < p: exact
+    s1z = (s1sum == 0).astype(np.uint64)
+    C[p1.at("s1z")] = s1z
+    C[p1.at("s1z_inv")] = _inv_or_zero(s1sum)
+    d1sum = d1v.sum(0)
+    d1z = (d1sum == 0).astype(np.uint64)
+    C[p1.at("d1z")] = d1z
+    C[p1.at("d1z_inv")] = _inv_or_zero(d1sum)
+
+    # shift machinery: f = (ror & amt!=0) ? 256-amt : amt; y = 2^f
+    amt = s1v[0] & 0xFF
+    sh_nz = (amt != 0).astype(np.uint64)
+    C[p1.at("sh_nz")] = sh_nz
+    C[p1.at("sh_nz_inv")] = _inv_or_zero(amt)
+    is_ror_r = is_shiftr & evcol(isa.SHIFT_ROR)
+    sh_rnz = (is_ror_r & (amt != 0)).astype(np.uint64)
+    C[p1.at("sh_rnz")] = sh_rnz
+    fsh = np.where(is_shiftr,
+                   np.where(sh_rnz.astype(bool), 256 - amt, amt),
+                   np.uint64(0)).astype(np.uint64)
+    C[p1.at("sh_full")] = fsh
+    qf, rf = fsh // 16, fsh % 16
+    for j in range(16):
+        C[p1.at("sh_q", j)] = (is_shiftr & (qf == j)).astype(np.uint64)
+        C[p1.at("sh_r", j)] = (is_shiftr & (rf == j)).astype(np.uint64)
+    pow2 = np.zeros((8, n), np.uint64)
+    for l in range(8):
+        pow2[l] = np.where(is_shiftr & (fsh // 32 == l),
+                           np.uint64(1) << (fsh % 32), np.uint64(0))
+
+    # multiplier block z = x*y + a (512-bit), operands selected per family
+    zeros8 = np.zeros((8, n), np.uint64)
+    mx = np.where((is_mulr | is_shl_r | is_cyc_r)[None], s0v,
+                  np.where((is_divr | is_shr_r)[None], d0, zeros8))
+    my = np.where((is_mulr | is_divr)[None], s1v,
+                  np.where(is_shiftr[None], pow2, zeros8))
+    # div-by-zero rows leave the whole block zero (bindings are masked)
+    dv_mask = is_divr & (s1z == 0)
+    mx = np.where((is_divr & (s1z == 1))[None], zeros8, mx)
+    my = np.where((is_divr & (s1z == 1))[None], zeros8, my)
+    ma = np.where(dv_mask[None], d1v,
+                  np.where(is_shr_r[None], fam1, zeros8))
+    mzl = np.where((is_mulr | is_shl_r | is_cyc_r)[None], fam0,
+                   np.where(dv_mask[None] | is_shr_r[None], s0v, zeros8))
+    mzh = np.where((is_mulr | is_shl_r | is_cyc_r)[None], fam1, zeros8)
+    put_bytes("mx_b", mx)
+    put_bytes("my_b", my)
+    put_bytes("ma_b", ma)
+    put_bytes("mzl_b", mzl)
+    put_bytes("mzh_b", mzh)
+
+    def u16limbs(v8):  # (8, n) -> (16, n)
+        out16 = np.zeros((16, n), np.uint64)
+        for k in range(16):
+            out16[k] = (v8[k // 2] >> (16 * (k % 2))) & 0xFFFF
+        return out16
+
+    x16, y16, a16 = u16limbs(mx), u16limbs(my), u16limbs(ma)
+    z16 = np.concatenate([u16limbs(mzl), u16limbs(mzh)], axis=0)
+    cprev = np.zeros(n, np.uint64)
+    for k in range(31):
+        S = cprev.copy()
+        for i in range(max(0, k - 15), min(15, k) + 1):
+            S += x16[i] * y16[k - i]
+        if k < 16:
+            S += a16[k]
+        ck = (S - z16[k]) >> 16
+        assert ((S - z16[k]) & 0xFFFF == 0).all(), f"mul carry at {k}"
+        assert (ck < (1 << 24)).all(), f"mul carry overflow at {k}"
+        for bb in range(3):
+            C[p1.at("mc_b", 3 * k + bb)] = (ck >> (8 * bb)) & 0xFF
+        cprev = ck
+    assert (z16[31] == cprev).all(), "mul top limb != final carry"
+
+    # comparator block: active on div (r < b) and shr (r < 2^f)
+    act_shr = is_shr_r
+    act = dv_mask | act_shr
+    C[p1.at("cmp_act")] = act.astype(np.uint64)
+    cu = np.where(dv_mask[None], s1v, np.where(act_shr[None], pow2, zeros8))
+    cv = np.where(dv_mask[None], d1v, np.where(act_shr[None], fam1, zeros8))
+    bprev = act.astype(np.int64)  # the trailing "-1" of u - v - 1
+    for k in range(8):
+        t = cu[k].astype(np.int64) - cv[k].astype(np.int64) - bprev
+        neg = (t < 0).astype(np.int64)
+        dk = (t + (neg << 32)).astype(np.uint64)
+        C[p1.at("cmp_brw", k)] = neg.astype(np.uint64)
+        for bb in range(4):
+            C[p1.at("cmp_d_b", 4 * k + bb)] = (dk >> (8 * bb)) & 0xFF
+        bprev = neg
+    assert (bprev[act] == 0).all(), "comparator: r >= bound on active row"
+
+    # binop bit decomposition (only populated on binop rows; bindings masked)
+    for j in range(256):
+        l, bit = j // 32, j % 32
+        C[p1.at("bb0", j)] = np.where(is_binr, (s0v[l] >> bit) & 1,
+                                      np.uint64(0))
+        C[p1.at("bb1", j)] = np.where(is_binr, (s1v[l] >> bit) & 1,
+                                      np.uint64(0))
+    C[p1.at("bop_and")] = is_and_r.astype(np.uint64)
+    C[p1.at("bop_or")] = is_or_r.astype(np.uint64)
+    C[p1.at("bop_xor")] = is_xor_r.astype(np.uint64)
+
+    # per-family next-flag values (sim._op_* flag semantics, cited above)
+    is_addsub = (et(isa.ADD) + et(isa.SUB)).astype(bool)
+    nf_of = np.where(is_addsub, carries[7],
+                     np.where(is_mulr, 1 - d1z,
+                              np.where(is_divr, s1z, np.uint64(0))))
+    nf_eq = np.where(is_addsub | is_mulr | is_shiftr | is_binr, as_eq,
+                     np.where(is_divr, (1 - s1z) * as_eq, np.uint64(0)))
+    nf_gt = np.where(is_addsub, as_gt,
+                     np.where(is_mulr, d1z * (1 - as_eq),
+                              np.where(is_divr, (1 - s1z) * d1z,
+                                       np.uint64(0))))
+    C[p1.at("nf_of")] = nf_of.astype(np.uint64)
+    C[p1.at("nf_eq")] = nf_eq.astype(np.uint64)
+    C[p1.at("nf_gt")] = nf_gt.astype(np.uint64)
+
+    # memory-query packing bytes of cw_sel limbs 5..7 (all rows; the RLC
+    # only consumes sro rows but the composition binding is unmasked)
+    for k in range(3):
+        for bb in range(4):
+            C[p1.at("cw_b", 4 * k + bb)] = (cw_sel[5 + k] >> (8 * bb)) & 0xFF
 
     rp = np.zeros(n, np.uint64)
     rp[:total] = _np_w(w, "ret_popped_pc")[:total].astype(np.uint64)
@@ -658,7 +874,7 @@ def as_eq_not(x: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 # challenge indices
-_XD, _BD, _XC, _BC, _XB, _RLC = range(6)
+_XD, _BD, _XC, _BC, _XB, _RLC, _MQ = range(7)
 
 
 def _col_ix(reg: _Reg, base: int):
@@ -1006,7 +1222,8 @@ def vm_core_air() -> AirSpec:
         out.append(gf.sub(cc(cur, at("as_gt")),
                           gf.mul(_not(carry[7]), _not(aeq))))
         out.append(gf.sub(cc(cur, at("upd_flags")),
-                          gf.mul(etsum(cur, [isa.ADD, isa.SUB]),
+                          gf.mul(etsum(cur, [isa.ADD, isa.SUB, isa.MUL,
+                                             isa.DIV, isa.SHIFT, isa.BINOP]),
                                  cc(cur, at("ef", 0)))))
         dbytes = []
         for l in range(8):
@@ -1026,6 +1243,220 @@ def vm_core_air() -> AirSpec:
             cc(cur, at("j_b", 2)), gf.mul_const(cc(cur, at("j_b", 3)), 256))))
         out.append(gf.mul(cc(cur, at("pc_wrap")),
                           gf.sub(pc, gf.full(skip.shape, 0xFFFF))))
+
+        # ================= ALU value semantics (G40+) =================
+        def grp(v):
+            return GF(jnp.moveaxis(v.lo, -1, 0), jnp.moveaxis(v.hi, -1, 0))
+
+        def u16(name):  # 32 byte columns -> (batch, 16) u16 limbs
+            ixs = span(name)
+            lo_b = cur[..., ixs[0::2]]
+            hi_b = cur[..., ixs[1::2]]
+            return gf.add(lo_b, gf.mul_const(hi_b, 256))
+
+        def u32limbs(name):  # 32 byte columns -> (batch, 8) u32 limbs
+            ixs = span(name)
+            v = gf.zeros(skip.shape + (8,))
+            for bb in range(4):
+                v = gf.add(v, gf.mul_const(cur[..., ixs[bb::4]], 1 << (8 * bb)))
+            return v
+
+        def bind_bytes(mask, name, other=None):
+            d = cur[..., span(name)]
+            if other is not None:
+                d = gf.sub(d, other)
+            out.append(gf.mul(mask, grp(d)))
+
+        # byte decompositions of src0/src1 (unmasked: they define the limbs)
+        out.append(grp(gf.sub(u32limbs("src0_b"), s0v)))
+        out.append(grp(gf.sub(u32limbs("src1_b"), s1v)))
+        out.append(grp(gf.sub(u32limbs("dst1_b"), cur[..., span("dst1_val")])))
+
+        # zero certificates
+        s1sum = gf.sum_mod(s1v)
+        s1z = cc(cur, at("s1z"))
+        out.append(gf.mul(s1z, s1sum))
+        out.append(gf.mul(_not(s1z),
+                          gf.sub(one, gf.mul(s1sum, cc(cur, at("s1z_inv"))))))
+        d1sum = gf.sum_mod(cur[..., span("dst1_val")])
+        d1z = cc(cur, at("d1z"))
+        out.append(gf.mul(d1z, d1sum))
+        out.append(gf.mul(_not(d1z),
+                          gf.sub(one, gf.mul(d1sum, cc(cur, at("d1z_inv"))))))
+
+        # --- multiplier core: z = x*y + a over u16 positions (every row;
+        # inactive rows hold the all-zero block) ---
+        x16, y16 = u16("mx_b"), u16("my_b")
+        a16v, zl16, zh16 = u16("ma_b"), u16("mzl_b"), u16("mzh_b")
+        mc = span("mc_b")
+        carr = gf.add(
+            gf.add(cur[..., mc[0::3]], gf.mul_const(cur[..., mc[1::3]], 256)),
+            gf.mul_const(cur[..., mc[2::3]], 1 << 16))  # (batch, 31)
+        P = gf.mul(gf.expand_dims(x16, -1), gf.expand_dims(y16, -2))
+        P = P.reshape(P.shape[:-2] + (256,))
+        mvals = []
+        for k in range(31):
+            idx = np.array([i * 16 + (k - i)
+                            for i in range(max(0, k - 15), min(15, k) + 1)])
+            S = gf.sum_mod(P[..., idx], axis=-1)
+            if k < 16:
+                S = gf.add(S, a16v[..., k])
+            if k > 0:
+                S = gf.add(S, carr[..., k - 1])
+            zk = zl16[..., k] if k < 16 else zh16[..., k - 16]
+            mvals.append(gf.sub(S, gf.add(zk, gf.mul_const(carr[..., k],
+                                                           1 << 16))))
+        mvals.append(gf.sub(zh16[..., 15], carr[..., 30]))
+        out.append(gf.stack(mvals, axis=0))
+
+        # --- family operand bindings ---
+        et_mul, et_div = et(cur, isa.MUL), et(cur, isa.DIV)
+        et_shift, et_binop = et(cur, isa.SHIFT), et(cur, isa.BINOP)
+        src0b = cur[..., span("src0_b")]
+        src1b = cur[..., span("src1_b")]
+        dst0b = cur[..., span("dst0_b")]
+        dst1b = cur[..., span("dst1_b")]
+        # MUL: s0 * s1 + 0 = [dst0 | dst1]
+        bind_bytes(et_mul, "mx_b", src0b)
+        bind_bytes(et_mul, "my_b", src1b)
+        bind_bytes(et_mul, "ma_b")
+        bind_bytes(et_mul, "mzl_b", dst0b)
+        bind_bytes(et_mul, "mzh_b", dst1b)
+        # DIV (b != 0): q * b + r = [s0 | 0]; (b == 0): q = r = 0
+        dvm = gf.mul(et_div, _not(s1z))
+        bind_bytes(dvm, "mx_b", dst0b)
+        bind_bytes(dvm, "my_b", src1b)
+        bind_bytes(dvm, "ma_b", dst1b)
+        bind_bytes(dvm, "mzl_b", src0b)
+        bind_bytes(dvm, "mzh_b")
+        dzm = gf.mul(et_div, s1z)
+        bind_bytes(dzm, "dst0_b")
+        bind_bytes(dzm, "dst1_b")
+        # SHIFT: amount machinery
+        amt_e = cc(cur, at("src1_b", 0))
+        sh_nz = cc(cur, at("sh_nz"))
+        out.append(gf.mul(_not(sh_nz), amt_e))
+        out.append(gf.sub(sh_nz, gf.mul(amt_e, cc(cur, at("sh_nz_inv")))))
+        sh_rnz = cc(cur, at("sh_rnz"))
+        out.append(gf.sub(sh_rnz, gf.mul(gf.mul(et_shift,
+                                                cc(cur, at("ev", isa.SHIFT_ROR))),
+                                         sh_nz)))
+        sh_full = cc(cur, at("sh_full"))
+        out.append(gf.sub(
+            sh_full,
+            gf.add(gf.mul(et_shift, amt_e),
+                   gf.sub(gf.mul_const(sh_rnz, 256),
+                          gf.mul_const(gf.mul(sh_rnz, amt_e), 2)))))
+        shq = cur[..., span("sh_q")]
+        shr_ = cur[..., span("sh_r")]
+        out.append(gf.sub(gf.sum_mod(shq), et_shift))
+        out.append(gf.sub(gf.sum_mod(shr_), et_shift))
+        wq = gf.from_u64(np.arange(16, dtype=np.uint64) * 16)
+        wr = gf.from_u64(np.arange(16, dtype=np.uint64))
+        out.append(gf.sub(gf.add(gf.sum_mod(gf.mul(shq, wq)),
+                                 gf.sum_mod(gf.mul(shr_, wr))), sh_full))
+        p2r = gf.sum_mod(gf.mul(shr_, gf.from_u64(
+            (np.uint64(1) << np.arange(16, dtype=np.uint64)))))
+        # y = 2^f on shift rows: y16_j = sh_q[j] * 2^(f mod 16)
+        out.append(gf.mul(et_shift,
+                          grp(gf.sub(y16, gf.mul(shq,
+                                                 gf.expand_dims(p2r, -1))))))
+        ev_shl = cc(cur, at("ev", isa.SHIFT_SHL))
+        ev_shr = cc(cur, at("ev", isa.SHIFT_SHR))
+        ev_cyc = gf.add(cc(cur, at("ev", isa.SHIFT_ROL)),
+                        cc(cur, at("ev", isa.SHIFT_ROR)))
+        m_shl = gf.mul(et_shift, ev_shl)
+        m_shr = gf.mul(et_shift, ev_shr)
+        m_cyc = gf.mul(et_shift, ev_cyc)
+        # SHL: s0 * 2^f + 0 = [dst0 | scratch-hi]
+        bind_bytes(m_shl, "mx_b", src0b)
+        bind_bytes(m_shl, "ma_b")
+        bind_bytes(m_shl, "mzl_b", dst0b)
+        # ROL/ROR: s0 * 2^f = [zl | zh], dst0 = zl + zh (disjoint bits)
+        bind_bytes(m_cyc, "mx_b", src0b)
+        bind_bytes(m_cyc, "ma_b")
+        d016 = u16("dst0_b")
+        out.append(gf.mul(m_cyc, grp(gf.sub(d016, gf.add(zl16, zh16)))))
+        # SHR: dst0 * 2^f + r = [s0 | 0]
+        bind_bytes(m_shr, "mx_b", dst0b)
+        bind_bytes(m_shr, "mzl_b", src0b)
+        bind_bytes(m_shr, "mzh_b")
+        # --- comparator: r < bound on div (b) / shr (2^f) rows ---
+        cmp_act = cc(cur, at("cmp_act"))
+        out.append(gf.sub(cmp_act, gf.add(dvm, m_shr)))
+        dlimb = u32limbs("cmp_d_b")
+        brw = [cc(cur, at("cmp_brw", k)) for k in range(8)]
+        yu32 = gf.add(y16[..., 0::2],
+                      gf.mul_const(y16[..., 1::2], 1 << 16))  # (batch, 8)
+        au32 = gf.add(a16v[..., 0::2], gf.mul_const(a16v[..., 1::2], 1 << 16))
+        d1limbs = cur[..., span("dst1_val")]
+        s1limbs = s1v
+        chain_div, chain_shr = [], []
+        for k in range(8):
+            bm1 = brw[k - 1] if k else one
+            # (k==0 uses "one" = the trailing -1 of u - v - 1)
+            lhs_d = gf.sub(gf.sub(s1limbs[..., k], d1limbs[..., k]), bm1)
+            lhs_s = gf.sub(gf.sub(yu32[..., k], au32[..., k]), bm1)
+            rhs = gf.sub(dlimb[..., k], gf.mul_const(brw[k], 1 << 32))
+            chain_div.append(gf.sub(lhs_d, rhs))
+            chain_shr.append(gf.sub(lhs_s, rhs))
+        out.append(gf.mul(dvm, gf.stack(chain_div, axis=0)))
+        out.append(gf.mul(m_shr, gf.stack(chain_shr, axis=0)))
+        out.append(gf.mul(cmp_act, brw[7]))
+        # --- binop: bitwise ops over committed operand bits ---
+        b0 = cur[..., span("bb0")]
+        b1 = cur[..., span("bb1")]
+        b0r = b0.reshape(b0.shape[:-1] + (32, 8))
+        b1r = b1.reshape(b1.shape[:-1] + (32, 8))
+        w8 = gf.from_u64((np.uint64(1) << np.arange(8, dtype=np.uint64)))
+        out.append(gf.mul(et_binop,
+                          grp(gf.sub(src0b, gf.dot_mod(b0r, w8)))))
+        out.append(gf.mul(et_binop,
+                          grp(gf.sub(src1b, gf.dot_mod(b1r, w8)))))
+        for nm, vb in (("bop_and", isa.BINOP_AND), ("bop_or", isa.BINOP_OR),
+                       ("bop_xor", isa.BINOP_XOR)):
+            out.append(gf.sub(cc(cur, at(nm)),
+                              gf.mul(et_binop, cc(cur, at("ev", vb)))))
+        and_b = gf.dot_mod(gf.mul(b0r, b1r), w8)             # (batch, 32)
+        sum_b = gf.dot_mod(gf.add(b0r, b1r), w8)
+        or_b = gf.sub(sum_b, and_b)
+        xor_b = gf.sub(sum_b, gf.double(and_b))
+        res_b = gf.add(
+            gf.add(gf.mul(gf.expand_dims(cc(cur, at("bop_and")), -1), and_b),
+                   gf.mul(gf.expand_dims(cc(cur, at("bop_or")), -1), or_b)),
+            gf.mul(gf.expand_dims(cc(cur, at("bop_xor")), -1), xor_b))
+        out.append(grp(gf.sub(gf.mul(gf.expand_dims(et_binop, -1), dst0b),
+                              res_b)))
+        # --- per-family next-flag bindings ---
+        et_as = etsum(cur, [isa.ADD, isa.SUB])
+        nf_of = cc(cur, at("nf_of"))
+        nf_eq = cc(cur, at("nf_eq"))
+        nf_gt = cc(cur, at("nf_gt"))
+        aeq_c = cc(cur, at("as_eq"))
+        agt_c = cc(cur, at("as_gt"))
+        c7 = cc(cur, at("carry", 7))
+        out.append(gf.mul(et_as, gf.sub(nf_of, c7)))
+        out.append(gf.mul(et_as, gf.sub(nf_eq, aeq_c)))
+        out.append(gf.mul(et_as, gf.sub(nf_gt, agt_c)))
+        out.append(gf.mul(et_mul, gf.sub(nf_of, _not(d1z))))
+        out.append(gf.mul(et_mul, gf.sub(nf_eq, aeq_c)))
+        out.append(gf.mul(et_mul, gf.sub(nf_gt, gf.mul(d1z, _not(aeq_c)))))
+        out.append(gf.mul(et_div, gf.sub(nf_of, s1z)))
+        out.append(gf.mul(et_div, gf.sub(nf_eq, gf.mul(_not(s1z), aeq_c))))
+        out.append(gf.mul(et_div, gf.sub(nf_gt, gf.mul(_not(s1z), d1z))))
+        et_sb = gf.add(et_shift, et_binop)
+        out.append(gf.mul(et_sb, nf_of))
+        out.append(gf.mul(et_sb, gf.sub(nf_eq, aeq_c)))
+        out.append(gf.mul(et_sb, nf_gt))
+
+        # memory-query packing bytes of cw_sel limbs 5..7 (affine, all rows)
+        for k in range(3):
+            v = gf.zeros(skip.shape)
+            for bb in range(4):
+                v = gf.add(v, gf.mul_const(cc(cur, at("cw_b", 4 * k + bb)),
+                                           1 << (8 * bb)))
+            out.append(gf.sub(cc(cur, at("cw_sel", 5 + k)), v))
+
         # ---- logUp row relations ----
         Xd, bd = ch[_XD], ch[_BD]
         key_q = gf.add(cc(cur, at("variant_idx")),
@@ -1065,6 +1496,27 @@ def vm_core_air() -> AirSpec:
             cc(cur, at("m_byte"))))
         return out
 
+    def _mq_row_rlc(row, ch):
+        """delta-RLC of the row's code-read memory-query 8-wide packing
+        (affine in committed cells; memory_query/mod.rs:103-221 layout)."""
+        d = ch[_MQ]
+        vs = [cc(row, at("ts")), cc(row, at("code_page")),
+              cc(row, at("spc"))]
+        for k in range(4):
+            v = cc(row, at("cw_sel", k))
+            for bb in range(3):
+                v = gf.add(v, gf.mul_const(
+                    cc(row, at("cw_b", 3 * k + bb)), 1 << (32 + 8 * bb)))
+            vs.append(v)
+        vs.append(cc(row, at("cw_sel", 4)))
+        r = vs[0]
+        dp = d
+        for j in range(1, 8):
+            r = gf.add(r, gf.mul(dp, vs[j]))
+            if j < 7:
+                dp = gf.mul(dp, d)
+        return r, gf.mul(dp, d)  # (row RLC, delta^8)
+
     def _lookup_diff(row):
         v = gf.add(cc(row, at2("inv_qd")), cc(row, at2("inv_qc")))
         v = gf.add(v, gf.sum_mod(row[..., span2("inv_qb")]))
@@ -1103,13 +1555,16 @@ def vm_core_air() -> AirSpec:
                             isa.NOP])
         ergs1 = gf.mul(_not(cc(cur, at("oo"))), cc(cur, at("ediff")))
         out.append(gf.mul(is_es, gf.sub(cc(nxt, at("ergs")), ergs1)))
-        # flags (families whose flag semantics are fully modeled)
-        is_fs = etsum(cur, [isa.ADD, isa.SUB, isa.JUMP, isa.NOP, isa.CONTEXT,
+        # flags: every ALU family supplies its committed next-flag values
+        # (nf_of/nf_eq/nf_gt, bound per family in row_constraints); families
+        # that never touch flags preserve them (upd = is_alu6 * set_flags)
+        is_fs = etsum(cur, [isa.ADD, isa.SUB, isa.MUL, isa.DIV, isa.SHIFT,
+                            isa.BINOP, isa.JUMP, isa.NOP, isa.CONTEXT,
                             isa.PTR, isa.UMA, isa.LOG])
         upd = cc(cur, at("upd_flags"))
-        for nm, nf in (("f_of", cc(cur, at("carry", 7))),
-                       ("f_eq", cc(cur, at("as_eq"))),
-                       ("f_gt", cc(cur, at("as_gt")))):
+        for nm, nf in (("f_of", cc(cur, at("nf_of"))),
+                       ("f_eq", cc(cur, at("nf_eq"))),
+                       ("f_gt", cc(cur, at("nf_gt")))):
             out.append(gf.mul(is_fs, gf.sub(
                 cc(nxt, at(nm)),
                 gf.add(gf.mul(upd, nf),
@@ -1166,6 +1621,16 @@ def vm_core_air() -> AirSpec:
         # logUp accumulator
         out.append(gf.sub(gf.sub(cc(nxt, at2("acc")), cc(cur, at2("acc"))),
                           _lookup_diff(nxt)))
+        # code-read memory-query stream RLC (macc = accumulator BEFORE the
+        # row; pushed on sro rows; the final pad row carries the total)
+        sro_c = cc(cur, at("sro"))
+        r_c, D = _mq_row_rlc(cur, ch)
+        macc_c = cc(cur, at2("macc"))
+        macc_n = cc(nxt, at2("macc"))
+        pushed = gf.add(gf.mul(macc_c, D), r_c)
+        out.append(gf.sub(macc_n,
+                          gf.add(gf.mul(sro_c, pushed),
+                                 gf.mul(_not(sro_c), macc_c))))
         return out
 
     def first_row(row, public, ch):
@@ -1174,14 +1639,16 @@ def vm_core_air() -> AirSpec:
         pows = _rlc_pows(rlc, len(state_ix))
         v = gf.sum_mod(gf.mul(st, pows))
         return [gf.sub(v, public[0]),
-                gf.sub(cc(row, at2("acc")), _lookup_diff(row))]
+                gf.sub(cc(row, at2("acc")), _lookup_diff(row)),
+                cc(row, at2("macc"))]
 
     def last_row(row, public, ch):
         rlc = ch[_RLC]
         st = row[..., state_ix]
         pows = _rlc_pows(rlc, len(state_ix))
         v = gf.sum_mod(gf.mul(st, pows))
-        return [gf.sub(v, public[1]), cc(row, at2("acc"))]
+        return [gf.sub(v, public[1]), cc(row, at2("acc")),
+                gf.sub(cc(row, at2("macc")), public[2])]
 
     return AirSpec(
         num_cols=P1,
@@ -1190,10 +1657,10 @@ def vm_core_air() -> AirSpec:
         row_constraints=row_constraints,
         first_row=first_row,
         last_row=last_row,
-        num_public=2,
+        num_public=3,
         num_fixed_cols=F,
         num_phase2_cols=P2,
-        num_challenges=6,
+        num_challenges=7,
     )
 
 
@@ -1262,9 +1729,35 @@ def _build_phase2(trace: GF, ch_ints) -> GF:
         return acc, acc
 
     _, acc = jax.lax.scan(body, gf.zeros(()), diff)
+
+    # macc: code-read stream RLC, value = accumulator BEFORE the row
+    dq = gf.from_u64(np.uint64(ch_ints[_MQ]))
+    dpows = [gf.ones(())]
+    for _ in range(8):
+        dpows.append(gf.canonicalize(gf.mul(dpows[-1], dq)))
+    vs = [col(p1, F, "ts"), col(p1, F, "code_page"), col(p1, F, "spc")]
+    for k in range(4):
+        v = col(p1, F, "cw_sel", k)
+        for bb in range(3):
+            v = gf.add(v, gf.mul_const(col(p1, F, "cw_b", 3 * k + bb),
+                                       1 << (32 + 8 * bb)))
+        vs.append(v)
+    vs.append(col(p1, F, "cw_sel", 4))
+    r = vs[0]
+    for j in range(1, 8):
+        r = gf.add(r, gf.mul(dpows[j], vs[j]))
+    sro = col(p1, F, "sro")
+
+    def mbody(m, x):
+        sro_i, r_i = x
+        nm = gf.add(gf.mul(sro_i, gf.add(gf.mul(m, dpows[8]), r_i)),
+                    gf.mul(gf.sub(gf.ones(()), sro_i), m))
+        return gf.canonicalize(nm), m
+
+    _, macc = jax.lax.scan(mbody, gf.zeros(()), (sro, gf.canonicalize(r)))
     return gf.concat(
         [gf.stack([inv_qd, inv_td, inv_qc, inv_tc], axis=0), inv_qb,
-         gf.stack([inv_tb, acc], axis=0)],
+         gf.stack([inv_tb, acc, macc], axis=0)],
         axis=0,
     )
 
@@ -1285,18 +1778,56 @@ def _span_bounds(reg: _Reg, nm: str) -> Tuple[int, int]:
 
 
 def _boundary_publics(state_in: np.ndarray, state_out: np.ndarray,
-                      rlc: int) -> GF:
+                      rlc: int, macc: int) -> GF:
     k = state_in.shape[0]
     pows = np.ones(k, dtype=object)
     for j in range(1, k):
         pows[j] = pows[j - 1] * rlc % gf.MODULUS
     pin = sum(int(v) * int(p) for v, p in zip(state_in, pows)) % gf.MODULUS
     pout = sum(int(v) * int(p) for v, p in zip(state_out, pows)) % gf.MODULUS
-    return gf.from_u64(np.array([pin, pout], np.uint64))
+    return gf.from_u64(np.array([pin, pout, macc], np.uint64))
+
+
+def code_read_queries(w: dict, limit: int) -> np.ndarray:
+    """(k, 8) u64 plaintext 8-wide packings of the VM's code-read memory
+    queries, in push order — PUBLIC data the proof's macc public binds.
+    The block driver cross-checks this list against the rw=0 code-page
+    subset of the global memory tape."""
+    from ..base_structures.memory_query import encode_memory_queries_np
+
+    total = int(np.asarray(w["ts"]).shape[0]) - 1
+    sro = np.asarray(w["should_read_opcode"])[:total].astype(bool)
+    ts = np.asarray(w["ts"])[:total][sro]
+    page = np.asarray(w["ctx_code_page"])[:total][sro]
+    pc = np.asarray(w["ctx_pc"])[:total][sro]
+    value = np.asarray(w["code_word_read"])[:total][sro]
+    k = int(sro.sum())
+    return encode_memory_queries_np(
+        ts, page, pc // 4, np.zeros(k, bool), np.zeros(k, bool), value
+    ).reshape(k, 8)
+
+
+def stream_rlc(encodings: np.ndarray, delta: int) -> int:
+    """Verifier-side recomputation of the macc public from plaintext
+    8-wide query encodings."""
+    d8 = pow(delta, 8, gf.MODULUS)
+    acc = 0
+    for row in np.asarray(encodings, np.uint64):
+        r = 0
+        dp = 1
+        for v in row:
+            r = (r + int(v) * dp) % gf.MODULUS
+            dp = dp * delta % gf.MODULUS
+        acc = (acc * d8 + r) % gf.MODULUS
+    return acc
+
+
+_DEBUG_CH = tuple((0x9E3779B97F4A7C15 * (k + 1)) % gf.MODULUS
+                  for k in range(7))  # large: avoids logUp denominator hits
 
 
 def debug_residuals(w: dict, limit: int,
-                    ch_ints: Tuple[int, ...] = (11, 12, 13, 14, 15, 16)):
+                    ch_ints: Tuple[int, ...] = _DEBUG_CH):
     """Evaluate every AIR constraint directly on the trace domain (no
     STARK): returns {kind: [(constraint_index, num_bad_rows), ...]} for the
     constraints that do NOT vanish — the fast iteration loop for keeping
@@ -1311,7 +1842,9 @@ def debug_residuals(w: dict, limit: int,
              jnp.roll(full.hi, -1, axis=-1).T)
     ch = gf.from_u64(np.array(ch_ints, np.uint64))
     state_in, state_out = boundary_state_vectors(phase1)
-    public = _boundary_publics(state_in, state_out, ch_ints[_RLC])
+    macc_total = stream_rlc(code_read_queries(w, limit), ch_ints[_MQ])
+    public = _boundary_publics(state_in, state_out, ch_ints[_RLC],
+                               macc_total)
     bad = {}
 
     def scan(kind, vals, valid_mask=None):
@@ -1334,22 +1867,31 @@ def debug_residuals(w: dict, limit: int,
     scan("transition", air.constraints(rows, nxt, ch), mask)
     scan("first", air.first_row(rows[0:1], public, ch))
     scan("last", air.last_row(rows[n - 1 : n], public, ch))
+    # cross-check: the phase-2 macc total equals the plaintext-stream RLC
+    macc_col = np.asarray(p2cols.astype_u64(), np.uint64)[-1]
+    want = stream_rlc(code_read_queries(w, limit), ch_ints[_MQ])
+    if int(macc_col[-1]) != want:
+        bad["macc_plaintext"] = [(0, 1)]
     return bad
 
 
 def prove_vm_core(w: dict, limit: int,
                   params: Optional[StarkParams] = None
-                  ) -> Tuple[StarkProof, np.ndarray, np.ndarray, StarkParams]:
+                  ) -> Tuple[StarkProof, np.ndarray, np.ndarray, np.ndarray,
+                             StarkParams]:
     """STARK-prove the VM core relation set for one instance's witness.
 
-    Returns (proof, state_in, state_out, params): the boundary state
-    vectors are the proof's public binding (challenge-RLC), to be
-    cross-checked against the instance's ClosedFormInput FSM state."""
+    Returns (proof, state_in, state_out, code_reads, params): the boundary
+    state vectors are the proof's public binding (challenge-RLC), and
+    `code_reads` is the PLAINTEXT (k, 8) code-read memory-query stream the
+    macc public binds — the block driver cross-checks it against the global
+    memory tape's code-read subset."""
     phase1, fixed, log_n = vm_core_trace(w, limit)
     air = vm_core_air()
     if params is None:
         params = StarkParams(log_n=log_n)
     state_in, state_out = boundary_state_vectors(phase1)
+    code_reads = code_read_queries(w, limit)
 
     # publics depend on the RLC challenge -> derive it exactly as the
     # verifier will (FS over fixed cap + phase-1 cap), then prove
@@ -1358,17 +1900,19 @@ def prove_vm_core(w: dict, limit: int,
     cap_f = _commit_columns(fixed, params)["cap"]
     cap_1 = _commit_columns(phase1, params)["cap"]
     ch, _ = challenges_from_cap(cap_1, air, cap_f)
-    public = _boundary_publics(state_in, state_out, ch[_RLC])
+    public = _boundary_publics(state_in, state_out, ch[_RLC],
+                               stream_rlc(code_reads, ch[_MQ]))
     proof = prove(phase1, air, params, public, build_phase2=_build_phase2,
                   fixed_cols=fixed)
-    return proof, state_in, state_out, params
+    return proof, state_in, state_out, code_reads, params
 
 
 def verify_vm_core(proof: StarkProof, state_in: np.ndarray,
-                   state_out: np.ndarray, params: StarkParams) -> bool:
+                   state_out: np.ndarray, code_reads: np.ndarray,
+                   params: StarkParams) -> bool:
     """Verifier: recompute the fixed-table cap (the VK), re-derive the RLC
-    challenge, rebuild the boundary publics from the CLAIMED state vectors,
-    and run the STARK verifier."""
+    and stream challenges, rebuild the boundary publics from the CLAIMED
+    state vectors + PLAINTEXT code-read stream, run the STARK verifier."""
     air = vm_core_air()
     n = 1 << params.log_n
     fixed = fixed_tables(n)
@@ -1378,9 +1922,13 @@ def verify_vm_core(proof: StarkProof, state_in: np.ndarray,
     state_out = np.asarray(state_out, np.uint64)
     if state_in.shape != (k,) or state_out.shape != (k,):
         return False
+    code_reads = np.asarray(code_reads, np.uint64)
+    if code_reads.ndim != 2 or code_reads.shape[1] != 8:
+        return False
     has_fixed = 1
     if len(proof.caps) != 3:
         return False
     ch, _ = challenges_from_cap(proof.caps[has_fixed], air, proof.caps[0])
-    public = _boundary_publics(state_in, state_out, ch[_RLC])
+    public = _boundary_publics(state_in, state_out, ch[_RLC],
+                               stream_rlc(code_reads, ch[_MQ]))
     return verify(proof, air, params, public, fixed_cols=fixed)
