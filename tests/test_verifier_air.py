@@ -1,0 +1,95 @@
+"""FRI-verifier-as-AIR: a node-level STARK proves the verification of two
+child proofs' FRI query phase, and a tampered child breaks the chain
+(VERDICT r3 item 1 step 2 — ref `src/recursion/node_layer/mod.rs:193-249`).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from zkevm_circuits_tpu.ops import fri, gf, ntt
+from zkevm_circuits_tpu.ops.gf import MODULUS
+from zkevm_circuits_tpu.prover import verifier_air as va
+
+pytestmark = pytest.mark.slow
+
+
+def _child(seed, log_n=3, log_blowup=2, q=4):
+    r = np.random.default_rng(seed)
+    evals = gf.from_u64(r.integers(0, MODULUS, size=(1, 1 << log_n),
+                                   dtype=np.uint64))
+    code = ntt.lde(evals, log_blowup, gf.MULTIPLICATIVE_GENERATOR)[0]
+    p = fri.FriParams(log_domain=log_n + log_blowup, log_blowup=log_blowup,
+                      num_queries=q, cap_log2=1)
+    fp = fri.prove(code, p)
+    assert fri.verify(fp, p)
+    return fp, p
+
+
+@pytest.fixture(scope="module")
+def node_proof():
+    fp1, p1 = _child(1)
+    fp2, p2 = _child(2)
+    proofs, fps = [fp1, fp2], [p1, p2]
+    vproof, publics, vparams = va.prove_fri_verification(proofs, fps)
+    return proofs, fps, vproof, vparams
+
+
+def test_node_stark_verifies_two_children(node_proof):
+    proofs, fps, vproof, vparams = node_proof
+    assert va.verify_fri_verification(vproof, proofs, fps, vparams)
+
+
+def test_tampered_child_value_rejected(node_proof):
+    """Flip an opened pair value in a child proof: the publics rebuilt from
+    the tampered child no longer match the proven ones."""
+    proofs, fps, vproof, vparams = node_proof
+    bad = proofs[0]
+    ops = [[dict(o) for o in layer_ops] for layer_ops in bad.openings]
+    pair = np.asarray(ops[0][0]["pair"], np.uint64).copy()
+    pair[0, 0] ^= np.uint64(1)
+    ops[0][0]["pair"] = pair
+    bad = fri.FriProof(caps=bad.caps, final_poly=bad.final_poly,
+                       query_indices=bad.query_indices, openings=ops)
+    assert not va.verify_fri_verification(vproof, [bad, proofs[1]], fps,
+                                          vparams)
+
+
+def test_tampered_child_unprovable(node_proof):
+    """An invalid child proof cannot be PROVEN verified: the trace builder
+    refuses (the same relations the AIR enforces fail host-side)."""
+    proofs, fps, _, _ = node_proof
+    bad = proofs[0]
+    ops = [[dict(o) for o in layer_ops] for layer_ops in bad.openings]
+    path = np.asarray(ops[0][0]["path"], np.uint64).copy()
+    path[0, 0] ^= np.uint64(1)
+    ops[0][0]["path"] = path
+    bad = fri.FriProof(caps=bad.caps, final_poly=bad.final_poly,
+                       query_indices=bad.query_indices, openings=ops)
+    with pytest.raises(AssertionError):
+        va.prove_fri_verification([bad, proofs[1]], fps)
+
+
+def test_node_in_field_over_compact_form_children():
+    """The recursion-tree shape: two leaf instances' compact-form
+    commitment STARKs as children of one in-field node verification."""
+    from zkevm_circuits_tpu.prover import recursion_proofs as rp
+
+    rng = np.random.default_rng(9)
+
+    class _CF:
+        def __init__(self, enc):
+            self._enc = enc
+
+        def encode(self):
+            return gf.from_u64(self._enc)
+
+    enc = rng.integers(0, MODULUS, size=(2, 18), dtype=np.uint64)
+    carried = rp.make_carried_proofs(_CF(enc))
+    node = rp.node_prove_in_field(carried)
+    assert rp.node_verify_in_field(node, carried)
+    # swap in a different child: publics mismatch
+    other = rp.make_carried_proofs(_CF(
+        rng.integers(0, MODULUS, size=(1, 18), dtype=np.uint64)))
+    assert not rp.node_verify_in_field(node, [carried[0], other[0]])

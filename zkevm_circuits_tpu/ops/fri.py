@@ -25,6 +25,7 @@ n/blowup polynomial's evaluation.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List
 
 import jax.numpy as jnp
@@ -146,6 +147,50 @@ def _eval_poly_ext(coeffs: np.ndarray, x: int) -> tuple:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=1)
+def _layer_commit_fn():
+    """One fused device program per layer shape: leaves + full tree, with
+    every level flattened into ONE array (a single host pull per layer —
+    per-level pulls each cost a tunnel round trip on the axon TPU)."""
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("cap_log2",))
+    def run(v: GF2, cap_log2: int):
+        leaves = _layer_leaves(v)
+        lh = merkle.hash_leaves(leaves)
+        levels = merkle.tree_levels(lh, cap_log2)
+        flat = gf.concat(levels, axis=0)
+        return flat, levels[-1]
+
+    return run
+
+
+def _layer_commit_jit(v: GF2, cap_log2: int):
+    return _layer_commit_fn()(v, cap_log2=cap_log2)
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_jit():
+    import jax
+
+    return functools.partial(
+        jax.jit, static_argnames=("log_n", "shift")
+    )(_fold)
+
+
+def _split_levels(flat_np: np.ndarray, n_leaves: int, cap_log2: int):
+    out = []
+    size = n_leaves
+    off = 0
+    while size >= (1 << cap_log2):
+        out.append(flat_np[off : off + size])
+        off += size
+        if size == (1 << cap_log2):
+            break
+        size //= 2
+    return out
+
+
 def prove(codeword: GF, params: FriParams) -> FriProof:
     """codeword: (n,) base-field evaluations on the coset shift*H."""
     n = 1 << params.log_domain
@@ -158,23 +203,21 @@ def prove(codeword: GF, params: FriParams) -> FriProof:
     layers = []     # (values GF2, leaf_hashes GF, levels, cap)
     betas = []
     while log_n > params.final_poly_log_len:
-        leaves = _layer_leaves(v)
-        lh = merkle.hash_leaves(leaves)
-        levels = merkle.tree_levels(lh, params.cap_log2)
-        cap = levels[-1]
-        # one host pull per layer (queries below index into numpy, not
-        # per-element device slices)
+        flat, cap = _layer_commit_jit(v, params.cap_log2)
+        # two host pulls per layer: the codeword pair and the whole tree
         vals_np = np.stack(
             [np.asarray(v.c0.astype_u64()), np.asarray(v.c1.astype_u64())]
         )
-        levels_np = [np.asarray(l.astype_u64()) for l in levels]
+        levels_np = _split_levels(
+            np.asarray(flat.astype_u64()), 1 << (log_n - 1), params.cap_log2
+        )
         layers.append(
             dict(values=vals_np, levels=levels_np, cap=cap)
         )
         tr.absorb(cap)
         beta = tr.challenge_ext()
         betas.append(beta)
-        v = _fold(v, beta, log_n, shift)
+        v = _fold_jit()(v, beta, log_n=log_n, shift=shift)
         shift = shift * shift % MODULUS
         log_n -= 1
 

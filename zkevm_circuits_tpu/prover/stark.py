@@ -437,17 +437,47 @@ def _deep_combine(rows: GF, q_vals: GF, lpows: GF, lam_m: GF, lam_2m: GF,
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _tree_fn():
+    """Fused leaves->levels program; levels flattened into one array so the
+    host pays ONE transfer instead of one per level (each pull is a tunnel
+    round trip on the axon TPU)."""
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("cap_log2",))
+    def run(leaves: GF, cap_log2: int):
+        lh = merkle.hash_leaves(leaves)
+        levels = merkle.tree_levels(lh, cap_log2)
+        return gf.concat(levels, axis=0), levels[-1]
+
+    return run
+
+
+def _split_levels(flat_np: np.ndarray, n_leaves: int, cap_log2: int):
+    out = []
+    size = n_leaves
+    off = 0
+    while True:
+        out.append(flat_np[off : off + size])
+        off += size
+        if size == (1 << cap_log2):
+            break
+        size //= 2
+    return out
+
+
 def _commit_evals(evals: GF, params: StarkParams):
     """Merkle-commit (m, N) values ALREADY on the LDE domain (row leaves)."""
     leaves = GF(evals.lo.T, evals.hi.T) if len(evals.shape) == 2 else (
         GF(evals.lo[:, None], evals.hi[:, None]))
-    leaf_hashes = merkle.hash_leaves(leaves)
-    levels = merkle.tree_levels(leaf_hashes, params.cap_log2)
+    flat, cap = _tree_fn()(leaves, cap_log2=params.cap_log2)
+    N = int(leaves.shape[0])
     return dict(
-        cap=levels[-1],
+        cap=cap,
         leaves_lo=np.asarray(leaves.lo),
         leaves_hi=np.asarray(leaves.hi),
-        levels_np=[np.asarray(l.astype_u64()) for l in levels],
+        levels_np=_split_levels(np.asarray(flat.astype_u64()), N,
+                                params.cap_log2),
     )
 
 
@@ -472,42 +502,65 @@ def _absorb_public(tr: Transcript, public: Optional[GF], air: AirSpec):
         tr.absorb(public)
 
 
+@functools.lru_cache(maxsize=1)
+def _lde_tree_fn():
+    import jax
+
+    @functools.partial(jax.jit,
+                       static_argnames=("log_blowup", "shift", "cap_log2"))
+    def run(cols: GF, log_blowup: int, shift: int, cap_log2: int):
+        lde_cols = ntt.lde(cols, log_blowup, shift)
+        leaves = _row_leaves(lde_cols)
+        lh = merkle.hash_leaves(leaves)
+        levels = merkle.tree_levels(lh, cap_log2)
+        return lde_cols, leaves, gf.concat(levels, axis=0), levels[-1]
+
+    return run
+
+
 def _commit_columns(cols: GF, params: StarkParams):
-    """LDE + row-Merkle a (m, n) column group; returns device + host views."""
-    lde_cols = _lde_columns(cols, params)
-    leaves = _row_leaves(lde_cols)
-    leaf_hashes = merkle.hash_leaves(leaves)
-    levels = merkle.tree_levels(leaf_hashes, params.cap_log2)
+    """LDE + row-Merkle a (m, n) column group (one fused device program;
+    the tree levels come back in a single transfer)."""
+    lde_cols, leaves, flat, cap = _lde_tree_fn()(
+        cols, log_blowup=params.log_blowup,
+        shift=params.coset_shift, cap_log2=params.cap_log2,
+    )
+    N = int(leaves.shape[0])
     return dict(
         lde=lde_cols,
-        cap=levels[-1],
+        cap=cap,
         leaves_lo=np.asarray(leaves.lo),
         leaves_hi=np.asarray(leaves.hi),
-        levels_np=[np.asarray(l.astype_u64()) for l in levels],
+        levels_np=_split_levels(np.asarray(flat.astype_u64()), N,
+                                params.cap_log2),
     )
 
 
 def prove(trace: GF, air: AirSpec, params: StarkParams,
           public: Optional[GF] = None,
           build_phase2: Optional[Callable] = None,
-          fixed_cols: Optional[GF] = None) -> StarkProof:
+          fixed_cols: Optional[GF] = None,
+          commit_fn: Optional[Callable] = None) -> StarkProof:
     """`build_phase2(trace, ch_ints) -> (num_phase2_cols, n) GF` builds the
     challenge-derived columns (required iff air.num_phase2_cols > 0); its
     `trace` argument is the concatenation [fixed | phase1] when the AIR has
     fixed columns.  `fixed_cols` (num_fixed_cols, n) is the verifier-known
-    preprocessed data (required iff air.num_fixed_cols > 0)."""
+    preprocessed data (required iff air.num_fixed_cols > 0).  `commit_fn`
+    overrides the column-group commit (parallel/prover.py's mesh-sharded
+    LDE+Merkle produces BIT-IDENTICAL trees, so the proof is unchanged)."""
     n = 1 << params.log_n
     assert trace.shape == (air.num_cols, n)
     assert (1 << params.log_blowup) >= air.max_degree
+    commit = commit_fn or _commit_columns
 
     trees = []
     fixed_cap = None
     if air.num_fixed_cols:
         assert fixed_cols is not None and fixed_cols.shape == (
             air.num_fixed_cols, n)
-        trees.append(_commit_columns(fixed_cols, params))
+        trees.append(commit(fixed_cols, params))
         fixed_cap = trees[0]["cap"]
-    trees.append(_commit_columns(trace, params))
+    trees.append(commit(trace, params))
     ch, tr = challenges_from_cap(trees[-1]["cap"], air, fixed_cap)
     _absorb_public(tr, public, air)
 
@@ -517,7 +570,7 @@ def prove(trace: GF, air: AirSpec, params: StarkParams,
         assert build_phase2 is not None
         t2 = build_phase2(all_cols, ch)
         assert t2.shape == (air.num_phase2_cols, n)
-        trees.append(_commit_columns(t2, params))
+        trees.append(commit(t2, params))
         tr.absorb(trees[-1]["cap"])
         all_cols = gf.concat([all_cols, t2], axis=0)
     lde_all = gf.concat([t["lde"] for t in trees], axis=0)

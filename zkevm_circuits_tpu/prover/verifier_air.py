@@ -149,6 +149,7 @@ def build_schedule(fri_params: Tuple[FriParams, ...]) -> Schedule:
                         wfstep=(pow(wf, 1 << k, MODULUS)
                                 if l == nlayers - 1 else 1),
                         capw=1 << lay["depth"],
+                        wcap=pow(lay["w"], 1 << lay["depth"], MODULUS),
                         wfcap=(pow(wf, 1 << lay["depth"], MODULUS)
                                if l == nlayers - 1 else 1),
                     ))
@@ -194,6 +195,8 @@ class _Cols:
         self.wmul = i; i += 1
         self.wfmul = i; i += 1
         self.wfcmul = i; i += 1
+        self.wcmul = i; i += 1
+        self.xcf = i; i += 1
         self.xff = i; i += 1
         self.num_phase1 = i
 
@@ -209,10 +212,10 @@ class _Fix:
     def __init__(self, n_lsel: int, n_qsel: int, n_csel: int):
         i = 0
         for nm in ("f_leaf", "f_path", "f_last", "f_last0", "f_lastF",
-                   "f_lastNF", "f_first", "f_reent"):
+                   "f_lastNF", "f_first", "f_reent", "f_pad"):
             setattr(self, nm, i); i += 1
         for nm in ("f_pw2", "f_capw", "f_shift", "f_fshift", "f_wstep",
-                   "f_wfstep", "f_wfcap"):
+                   "f_wfstep", "f_wfcap", "f_wcap"):
             setattr(self, nm, i); i += 1
         self.lsel = slice(i, i + n_lsel); i += n_lsel
         self.qsel = slice(i, i + n_qsel); i += n_qsel
@@ -241,11 +244,13 @@ def fixed_columns(sched: Schedule) -> GF:
     fx = _fix_of(sched)
     lmap, qmap = _slot_maps(sched)
     out = np.zeros((fx.num_fixed, sched.n), np.uint64)
+    out[fx.f_pad, len(sched.rows):] = 1
     out[fx.f_shift] = 1
     out[fx.f_fshift] = 1
     out[fx.f_wstep] = 1
     out[fx.f_wfstep] = 1
     out[fx.f_wfcap] = 1
+    out[fx.f_wcap] = 1
     for i, r in enumerate(_row_dicts(sched)):
         c = r["child"]
         if r["kind"] == "leaf":
@@ -264,6 +269,7 @@ def fixed_columns(sched: Schedule) -> GF:
             if r["last"]:
                 out[fx.f_last, i] = 1
                 out[fx.f_capw, i] = r["capw"]
+                out[fx.f_wcap, i] = r["wcap"]
                 out[fx.f_wfcap, i] = r["wfcap"]
             if r.get("last0"):
                 out[fx.f_last0, i] = 1
@@ -355,6 +361,9 @@ def _verifier_air(fri_params: Tuple[FriParams, ...]) -> AirSpec:
         for i in flags:
             v = cc(cur, i)
             vals.append(gf.mul(v, gf.sub(v, one)))
+        # padding is schedule-determined: pad == f_pad (the live row
+        # count is static per schedule, so early padding is unsatisfiable)
+        vals.append(gf.sub(pad, fxc(cur, fx.f_pad)))
         # flag bindings to the fixed schedule
         for ci, fi in ((c.cleaf, fx.f_leaf), (c.cpath, fx.f_path),
                        (c.clast, fx.f_last), (c.clast0, fx.f_last0),
@@ -409,6 +418,12 @@ def _verifier_air(fri_params: Tuple[FriParams, ...]) -> AirSpec:
         vals.append(gf.mul(clast, gf.sub(
             cc(cur, c.wfcmul),
             gf.add(gf.sub(one, capb), gf.mul(capb, fxc(cur, fx.f_wfcap))))))
+        vals.append(gf.mul(clast, gf.sub(
+            cc(cur, c.wcmul),
+            gf.add(gf.sub(one, capb), gf.mul(capb, fxc(cur, fx.f_wcap))))))
+        # the fold point includes the cap-select bit: x = shift * w^{i_full}
+        vals.append(gf.mul(clast, gf.sub(
+            cc(cur, c.xcf), gf.mul(cc(cur, c.xacc), cc(cur, c.wcmul)))))
         # last path row: cap equality, x-inverse, fold
         cap_lo = _pubsel(cur, public, fx.lsel, cap_lo_ix)
         cap_hi = _pubsel(cur, public, fx.lsel, cap_hi_ix)
@@ -417,7 +432,7 @@ def _verifier_air(fri_params: Tuple[FriParams, ...]) -> AirSpec:
                           gf.mul(capb, cap_hi[..., k]))
             vals.append(gf.mul(clast, gf.sub(out12[..., k], want)))
         vals.append(gf.mul(clast, gf.sub(
-            gf.mul(cc(cur, c.xacc), cc(cur, c.xinv)), one)))
+            gf.mul(cc(cur, c.xcf), cc(cur, c.xinv)), one)))
         # odd parts: od = half * (a - b) * xinv  (componentwise GF2)
         od = cur[..., np.arange(F + c.od.start, F + c.od.stop)]
         hx = gf.mul(half, cc(cur, c.xinv))
@@ -460,7 +475,9 @@ def _verifier_air(fri_params: Tuple[FriParams, ...]) -> AirSpec:
         vals.append(gf.mul(clastF, gf.sub(fv[..., 1], p1)))
         acc, a_pow = _alpha_sum(vals, alpha, a_pow)
         # Poseidon2 permutation relations (scan-folded)
-        pacc, a_pow, final = fold_perm_constraints(cur, c.perm, alpha, a_pow)
+        # PermCols offsets are phase-1-relative; rows are [fixed | phase1]
+        pc_abs = PermCols(F + c.perm.chunk.start)
+        pacc, a_pow, final = fold_perm_constraints(cur, pc_abs, alpha, a_pow)
         acc = gf.add(acc, pacc)
         tail = []
         live_ = _not(cc(cur, c.pad))
@@ -472,10 +489,7 @@ def _verifier_air(fri_params: Tuple[FriParams, ...]) -> AirSpec:
 
     def constraints_pub(cur, nxt, public, ch):
         out = []
-        pad_c = cc(cur, c.pad)
         pad_n = cc(nxt, c.pad)
-        out.append(gf.mul(pad_c, _not(pad_n)))
-        out.append(gf.mul(gf.sub(pad_n, pad_c), _not(fxc(nxt, fx.f_first))))
         copy_ix = np.arange(F + c.bit, F + c.num_phase1)
         out.append(gf.mul(pad_n, _grp(gf.sub(nxt[..., copy_ix],
                                              cur[..., copy_ix]))))
@@ -662,7 +676,10 @@ def build_verifier_trace(proofs: Sequence[FriProof],
                 C[c.clast, i] = 1
                 C[c.capb, i] = capbit
                 C[c.wfcmul, i] = r["wfcap"] if capbit else 1
-                xinv = pow(int(C[c.xacc, i]), MODULUS - 2, MODULUS)
+                C[c.wcmul, i] = r["wcap"] if capbit else 1
+                xcf = (int(C[c.xacc, i]) * int(C[c.wcmul, i])) % MODULUS
+                C[c.xcf, i] = xcf
+                xinv = pow(xcf, MODULUS - 2, MODULUS)
                 C[c.xinv, i] = xinv
                 a = (int(C[c.qa.start, i]), int(C[c.qa.start + 1, i]))
                 b = (int(C[c.qa.start + 2, i]), int(C[c.qa.start + 3, i]))
