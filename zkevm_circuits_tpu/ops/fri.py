@@ -298,6 +298,37 @@ def verify(proof: FriProof, params: FriParams) -> bool:
     if expect_idx != list(proof.query_indices):
         return False
 
+    # ---- batched Merkle authentication: ONE hash_leaves + verify_path per
+    # LAYER across all queries (per-query device calls each cost a tunnel
+    # round trip; 20 queries x 16 layers was the verify wall-time) ----
+    Q = params.num_queries
+    for li in range(n_layers):
+        log_nl = params.log_domain - li
+        nl = 1 << log_nl
+        depth = log_nl - 1 - params.cap_log2
+        leaves = np.zeros((Q, 4), np.uint64)
+        paths = np.zeros((Q, depth, 4), np.uint64)
+        idxs = np.zeros(Q, np.uint32)
+        for q, idx in enumerate(proof.query_indices):
+            pos = idx
+            for ll in range(li):
+                pos = pos % ((1 << (params.log_domain - ll)) // 2)
+            i = pos % (nl // 2)
+            op = proof.openings[q][li]
+            pair = np.asarray(op["pair"], dtype=np.uint64)
+            leaves[q] = [pair[0, 0], pair[0, 1], pair[1, 0], pair[1, 1]]
+            path = np.asarray(op["path"], np.uint64)
+            if path.shape != (depth, 4):
+                return False
+            paths[q] = path
+            idxs[q] = i
+        lh = merkle.hash_leaves(gf.from_u64(leaves))
+        okm = merkle.verify_path(
+            lh, jnp.asarray(idxs), gf.from_u64(paths), proof.caps[li]
+        )
+        if not bool(np.asarray(okm).all()):
+            return False
+
     roots = {}
     for q, idx in enumerate(proof.query_indices):
         pos = idx
@@ -311,13 +342,7 @@ def verify(proof: FriProof, params: FriParams) -> bool:
             pair = np.asarray(op["pair"], dtype=np.uint64)
             a = (int(pair[0, 0]), int(pair[0, 1]))
             b = (int(pair[1, 0]), int(pair[1, 1]))
-            leaf = gf.from_u64(np.array([a[0], a[1], b[0], b[1]], np.uint64))
-            lh = merkle.hash_leaves(leaf[None])[0]
-            okm = merkle.verify_path(
-                lh, i, gf.from_u64(np.asarray(op["path"])), proof.caps[li]
-            )
-            if not bool(np.asarray(okm)):
-                return False
+            # (Merkle authentication batched above)
             # the previous fold must reappear at its position in THIS layer
             if prev_fold is not None:
                 expected = a if pos < nl // 2 else b
