@@ -36,7 +36,8 @@ def proof_block():
         prove_vm=True,
         prove_hash_chains=True,
     )
-    return block2.execute_block2(code, cfg)
+    blob = ([bytes([7]) * 31, bytes([9]) * 31], b"\x01" + b"\x22" * 31)
+    return block2.execute_block2(code, cfg, blobs=[blob])
 
 
 def test_block_ok(proof_block):
@@ -54,6 +55,13 @@ def test_hash_chain_verdicts(proof_block):
     keccak stream (type 13) carry verified digest STARKs."""
     assert proof_block.stark_verdicts.get(3) is True
     assert proof_block.stark_verdicts.get(13) is True
+
+
+def test_eip4844_keccak_chains_proven(proof_block):
+    """The blob's three keccak chains (linear hash, z-challenge digest,
+    output commitment) carry verified digest STARKs (type 255; ref
+    eip_4844/mod.rs:157-174, 206-242)."""
+    assert proof_block.stark_verdicts.get(255) is True
 
 
 def test_code_read_stream_binds_to_tape(proof_block):

@@ -455,6 +455,7 @@ def execute_block2(
     blob_linear_hashes = [b"\x00" * 32, b"\x00" * 32]
     blob_output_hashes = [b"\x00" * 32, b"\x00" * 32]
     blob_forms = []
+    blob_ws = []
     if blobs:
         from ..models import eip_4844 as e44
 
@@ -462,6 +463,7 @@ def execute_block2(
         for bi, (chunks, vh) in enumerate(blobs):
             bcfg = e44.EIP4844Config(elements=max(len(chunks), 1))
             bw = e44.generate_witness(chunks, vh, bcfg)
+            blob_ws.append((bw, chunks, vh, bcfg))
             residuals[f"eip_4844_{bi}"] = e44.eval_constraints_jit(bw, bcfg)
             blob_forms.append(e44.instance_compact_form(bw, bcfg))
             blob_linear_hashes[bi] = bytes(
@@ -745,6 +747,31 @@ def execute_block2(
             ok13 = digest == l1_hash
             ok13 &= kair.verify_keccak256(proof, stream, digest, prm)
             stark_verdicts[13] = ok13 and stark_verdicts.get(13, True)
+        # eip_4844 blobs (type 255): the three keccak chains — blob linear
+        # hash, the z-challenge digest, and the output commitment
+        # (ref eip_4844/mod.rs:157-174, 206-242)
+        if blob_ws:
+            ok44 = True
+            for bw_, chunks_, vh_, bcfg_ in blob_ws:
+                E = bcfg_.elements
+                data = (list(chunks_)
+                        + [b"\x00" * 31] * (E - len(chunks_)))
+                blob_msg = b"".join(data)
+                lin = bytes(int(b) for b in np.asarray(bw_.linear_hash))
+                trunc = bytes(int(b) for b in np.asarray(bw_.truncated))
+                opening = bytes(int(b) for b in np.asarray(bw_.opening_be))
+                outh = bytes(int(b) for b in np.asarray(bw_.output_hash))
+                for msg, want in ((blob_msg, lin),
+                                  (lin + vh_, None),  # z-challenge digest
+                                  (vh_ + trunc + opening, outh)):
+                    proof, digest, prm = kair.prove_keccak256(msg)
+                    if want is not None:
+                        ok44 &= digest == want
+                    else:
+                        # the challenge digest's last 16 bytes ARE z
+                        ok44 &= digest[16:] == trunc
+                    ok44 &= kair.verify_keccak256(proof, msg, digest, prm)
+            stark_verdicts[255] = ok44
 
     commitment_verdicts = {}
     if config.prove_commitments:
