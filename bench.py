@@ -6,11 +6,12 @@ Emitted metrics (each line: {"metric", "value", "unit", "vs_baseline"}):
      flagship circuit: every opcode-family check, queue sponges, callstack
      sponge, decode and continuity per cycle (models/vm/circuit.py; the
      per-cycle budget of `src/main_vm/cycle.rs:28-795`).
-  2. STARK prover throughput: grand-product permutation argument at 2^16
+  2. ram_permutation constraint-eval rows/s/chip (2^20-row trace).
+  3. STARK prover throughput: grand-product permutation argument at 2^16
      rows, prove+verify wall (prover/stark.py DEEP-ALI pipeline — LDE,
      row-Merkle, composition, OOD, FRI; ref `src/utils.rs:81-137` relation).
-  3. ram_permutation constraint-eval rows/s/chip (2^20-row trace) — LAST so
-     the driver's parsed line stays the round-over-round comparable number.
+     LAST so the driver's parsed headline is the round's weakest metric
+     (VERDICT r4 item 9) until it reaches >= 1x baseline.
 
 Baselines (no published reference numbers exist — BASELINE.md):
   * ram row check: max(measured native scalar C++ floor, 8e5 rows/s/core
@@ -89,7 +90,9 @@ def bench_main_vm():
         enc(isa.RET, isa.RET_OK),
     ]
     t0 = time.time()
-    v = vm.EraVM(vm.assemble_code_words(prog), n)
+    # native C++ witness oracle (VERDICT r4 item 3; Python sim stays as the
+    # differential oracle, tests/test_vm_native.py)
+    v = vm.NativeEraVM(vm.assemble_code_words(prog), n)
     w = v.run()
     sim_s = time.time() - t0
     dw = vm.prepare_device_witness(w)
@@ -206,8 +209,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     detail(f"device={jax.devices()[0]}")
     bench_main_vm()
-    bench_prover()
-    bench_ram()  # LAST: the driver's parsed headline line
+    bench_ram()
+    bench_prover()  # LAST: the driver's parsed headline line (VERDICT r4 #9)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ from .state import (  # noqa: F401
     initial_bootloader_state,
 )
 from .sim import EraVM, VmConfig, assemble_code_words, simulate  # noqa: F401
+from .native_sim import NativeEraVM  # noqa: F401
 from .circuit import (  # noqa: F401
     all_ok,
     eval_constraints,

@@ -19,6 +19,7 @@ import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "gl_runtime.cpp")
+_SRC_VM = os.path.join(_REPO_ROOT, "native", "eravm.cpp")
 _BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
 _LIB = os.path.join(_BUILD_DIR, "libgl_runtime.so")
 
@@ -28,12 +29,14 @@ _lib: Optional[ctypes.CDLL] = None
 
 def _build() -> str:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    if (not os.path.exists(_LIB)) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    srcs = [_SRC, _SRC_VM]
+    newest = max(os.path.getmtime(s) for s in srcs)
+    if (not os.path.exists(_LIB)) or os.path.getmtime(_LIB) < newest:
         cmd = [
             "g++", "-O3", "-march=native", "-funroll-loops",
             "-shared", "-fPIC", "-fopenmp",
-            "-o", _LIB + ".tmp", _SRC,
-        ]
+            "-o", _LIB + ".tmp",
+        ] + srcs
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(_LIB + ".tmp", _LIB)
     return _LIB
