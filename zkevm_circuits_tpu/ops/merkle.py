@@ -37,17 +37,39 @@ def hash_leaves(columns: GF) -> GF:
     return poseidon2.hash_padded(columns, length_specialize=True)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _level_fn():
+    """One fused (reshape + compress) program per level size, shared by
+    every tree in the framework (STARK commits, FRI layers) — eager
+    per-level dispatch cost ~45 ms per 2^17 tree vs ~1 ms jitted."""
+
+    @jax.jit
+    def run(cur: GF) -> GF:
+        pairs = cur.reshape(cur.shape[0] // 2, 2, DIGEST)
+        return compress(pairs[:, 0], pairs[:, 1])
+
+    return run
+
+
 def tree_levels(leaf_hashes: GF, cap_log2: int):
     """All levels from leaves up to the cap. levels[0] = leaves,
-    levels[-1] = (2^cap_log2, 4)."""
+    levels[-1] = (2^cap_log2, 4).  Eager calls use the shared per-size
+    jitted level program; traced calls inline."""
     n = leaf_hashes.shape[0]
     log_n = int(n).bit_length() - 1
     assert 1 << log_n == n and cap_log2 <= log_n
+    eager = not isinstance(leaf_hashes.lo, jax.core.Tracer)
     levels = [leaf_hashes]
     cur = leaf_hashes
     for _ in range(log_n - cap_log2):
-        pairs = cur.reshape(cur.shape[0] // 2, 2, DIGEST)
-        cur = compress(pairs[:, 0], pairs[:, 1])
+        if eager:
+            cur = _level_fn()(cur)
+        else:
+            pairs = cur.reshape(cur.shape[0] // 2, 2, DIGEST)
+            cur = compress(pairs[:, 0], pairs[:, 1])
         levels.append(cur)
     return levels
 

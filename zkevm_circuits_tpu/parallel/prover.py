@@ -103,18 +103,15 @@ def sharded_commit_columns(cols: GF, params, mesh: Mesh,
         cur = merkle.compress(pairs[:, 0], pairs[:, 1])
         levels.append(cur)
     cap = levels[-1]
-    # assemble the single-device-layout views the prover consumes:
+    # assemble the single-device-layout views the prover consumes
+    # (device-resident, matching stark._commit_columns's dict):
     # lde_cols_p global is (mp, N) in column layout; leaves are its rows
-    lde_cols = lde_cols_p[:m_real]                         # (m, N)
-    leaves_lo = np.asarray(lde_cols_p.lo).T[:, :m_real]    # (N, m)
-    leaves_hi = np.asarray(lde_cols_p.hi).T[:, :m_real]
-    return dict(
-        lde=lde_cols,
-        cap=cap,
-        leaves_lo=leaves_lo,
-        leaves_hi=leaves_hi,
-        levels_np=[np.asarray(l.astype_u64()) for l in levels],
+    lde_cols = lde_cols_p[:m_real]                          # (m, N)
+    leaves = GF(
+        jnp.transpose(lde_cols_p.lo)[:, :m_real],           # (N, m)
+        jnp.transpose(lde_cols_p.hi)[:, :m_real],
     )
+    return dict(lde=lde_cols, cap=cap, leaves=leaves, levels=levels)
 
 
 def make_sharded_commit(mesh: Mesh, axis: str = "rows"):

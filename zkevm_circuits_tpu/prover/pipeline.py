@@ -133,9 +133,18 @@ def grand_product_trace(enc_unsorted: GF, enc_sorted: GF, challenges: GF,
     return trace, public
 
 
+@functools.lru_cache(maxsize=1)
+def _trace_fn():
+    import jax
+
+    return jax.jit(grand_product_trace)
+
+
 def permutation_trace(w) -> Tuple[GF, GF]:
     enc_u, enc_s = sorter_encodings(w)
-    return grand_product_trace(enc_u, enc_s, w.challenges, w.execute)
+    # one fused program (the eager chain compiled ~100 per-op executables
+    # on first run — 375 s of the round-4 cold prover wall)
+    return _trace_fn()(enc_u, enc_s, w.challenges, w.execute)
 
 
 def prove_permutation_argument(

@@ -179,6 +179,71 @@ def node_verify_in_field(node: NodeInFieldProof,
     )
 
 
+@dataclasses.dataclass
+class VerifiedNodeProof:
+    """A scheduler node-slot proof whose `is_valid` is the outcome of REAL
+    verification — the leaf-layer STARK checks over every instance's
+    carried commitment proof (+ its attached circuit-relation proof), and
+    optionally the node's in-field FRI-verification STARK.  Replaces
+    `recursion.ProofSurrogate` in the block flow (VERDICT r4 item 7); the
+    scheduler consumes it duck-typed (public_input / is_valid /
+    vk_commitment, ref scheduler/mod.rs:1026-1076)."""
+
+    public_input: GF          # (4,) node input commitment
+    is_valid: bool
+    vk_commitment: Optional[GF] = None
+
+
+def scheduler_node_proof(
+    circuit_type: int,
+    compact_forms,
+    leaf_params,
+    node_vk_commitment: tuple,
+    relation: Optional[Tuple[object, object]] = None,
+    extra_ok: bool = True,
+    in_field: bool = False,
+) -> Tuple[VerifiedNodeProof, List[CarriedProof], bool]:
+    """Build one circuit type's scheduler node-slot proof THROUGH the leaf
+    path: prove every instance's compact-form commitment, verify each with
+    the real verifier (relation proof attached to instance 0), run the
+    batched leaf checks against the queued commitments, optionally prove
+    the node's FRI verification in-field, and expose the node input
+    commitment with the verified verdict.
+
+    Returns (proof, carried, leaf_ok) — `leaf_ok` excludes `extra_ok` so
+    callers can report the leaf verdict separately."""
+    import jax.numpy as jnp
+
+    from ..models import scheduler as sched_mod
+    from ..ops import queues
+
+    carried = make_carried_proofs(compact_forms, relation=relation)
+    k = len(carried)
+    types = gf.full((k,), circuit_type)
+    commitments = compact_forms.commitment().reshape((k, 4))
+    execute = jnp.ones(k, dtype=bool)
+    checks = leaf_layer_verify_starks(
+        circuit_type, types, commitments, execute, carried
+    )
+    leaf_ok = all(bool(np.asarray(v).all()) for v in checks.values())
+    if in_field and leaf_ok:
+        node = node_prove_in_field(carried)
+        leaf_ok = leaf_ok and node_verify_in_field(node, carried)
+    qchain = recursion.build_recursion_queue(
+        types, compact_forms.commitment(), execute
+    )
+    qs = queues.QueueState(gf.zeros((12,)), qchain[k], jnp.uint32(k))
+    commitment = sched_mod.node_input_commitment(
+        circuit_type, leaf_params, node_vk_commitment, qs
+    )
+    proof = VerifiedNodeProof(
+        public_input=commitment,
+        is_valid=bool(leaf_ok) and bool(extra_ok),
+        vk_commitment=gf.from_u64(np.array(node_vk_commitment, np.uint64)),
+    )
+    return proof, carried, leaf_ok
+
+
 def leaf_layer_verify_starks(
     circuit_type: int,
     queue_types: GF,

@@ -382,6 +382,80 @@ def _alpha_gf(alpha: int) -> GF:
 # ---------------------------------------------------------------------------
 
 
+def _pow2k_dev(x: GF, log_e: int) -> GF:
+    """x^(2^log_e) by repeated squaring (static unroll, log_e <= ~20)."""
+    for _ in range(log_e):
+        x = gf.canonicalize(gf.mul(x, x))
+    return x
+
+
+@functools.lru_cache(maxsize=16)
+def _domain_points_dev(log_N: int, shift: int) -> GF:
+    """Device-cached (N,) coset points (one push per domain per process)."""
+    return gf.from_u64(_domain_points(log_N, shift))
+
+
+def _barycentric_dev(vals: GF, z: GF, log_N: int, shift: int) -> GF:
+    """Traced barycentric evaluation at a DEVICE point z (the eager-int
+    variant `_barycentric_eval` cost ~4 s per call in small dispatches)."""
+    N = 1 << log_N
+    xs = gf.mul_const(gf.geometric(ntt.root_of_unity(log_N), N),
+                      shift % MODULUS)
+    denom_inv = gf.inv(gf.sub(z, xs))
+    weights = gf.mul(xs, denom_inv)
+    s = gf.sum_mod(gf.mul(vals, weights), axis=-1)
+    sN = pow(shift, N, MODULUS)
+    inv_const = pow(N * sN % MODULUS, MODULUS - 2, MODULUS)
+    zN = _pow2k_dev(z, log_N)
+    factor = gf.mul_const(gf.sub(zN, gf.constant(sN)), inv_const)
+    return gf.canonicalize(gf.mul(s, factor))
+
+
+@functools.lru_cache(maxsize=4)
+def _ood_fn():
+    import jax
+
+    @functools.partial(jax.jit,
+                       static_argnames=("log_n", "log_blowup", "shift"))
+    def run(all_cols: GF, quotient: GF, z: GF, wz: GF,
+            log_n: int, log_blowup: int, shift: int):
+        trace_z = _barycentric_dev(all_cols, z, log_n, 1)
+        trace_wz = _barycentric_dev(all_cols, wz, log_n, 1)
+        q_z = _barycentric_dev(quotient, z, log_n + log_blowup, shift)
+        return trace_z, trace_wz, q_z
+
+    return run
+
+
+@functools.lru_cache(maxsize=4)
+def _deep_fn():
+    """One fused program for the whole DEEP round: lambda powers, OOD row
+    combinations, batch inverses of (x-z)/(x-wz) over the domain, and the
+    quotient combination — replaces an eager-op chain."""
+    import jax
+
+    @jax.jit
+    def run(lde_all: GF, quotient: GF, trace_z: GF, trace_wz: GF, q_z: GF,
+            lam: GF, z: GF, wz: GF, xs: GF):
+        m = int(lde_all.shape[0])
+        lpows = _alpha_powers(lam, m)
+        lam_m = gf.canonicalize(gf.mul(lpows[m - 1], lam))
+        lam_2m = gf.canonicalize(gf.mul(lam_m, lam_m))
+        inv_xz = gf.inv(gf.sub(xs, z))
+        inv_xwz = gf.inv(gf.sub(xs, wz))
+        a_z = gf.sum_mod(gf.mul(trace_z, lpows), axis=-1)
+        a_wz = gf.sum_mod(gf.mul(trace_wz, lpows), axis=-1)
+        rows = GF(lde_all.lo.T, lde_all.hi.T)
+        A = gf.sum_mod(gf.mul(rows, lpows), axis=-1)
+        t1 = gf.add(gf.sub(A, a_z), gf.mul(lam_2m, gf.sub(quotient, q_z)))
+        t2 = gf.mul(lam_m, gf.sub(A, a_wz))
+        return gf.canonicalize(
+            gf.add(gf.mul(t1, inv_xz), gf.mul(t2, inv_xwz))
+        )
+
+    return run
+
+
 def _barycentric_eval(vals: GF, z: int, log_N: int, shift: int) -> GF:
     """Evaluate the degree < N polynomial given by its values on the coset
     shift*<W_N> at an off-domain point z:
@@ -438,47 +512,26 @@ def _deep_combine(rows: GF, q_vals: GF, lpows: GF, lam_m: GF, lam_2m: GF,
 
 
 @functools.lru_cache(maxsize=1)
-def _tree_fn():
-    """Fused leaves->levels program; levels flattened into one array so the
-    host pays ONE transfer instead of one per level (each pull is a tunnel
-    round trip on the axon TPU)."""
+def _leaves_fn():
     import jax
 
-    @functools.partial(jax.jit, static_argnames=("cap_log2",))
-    def run(leaves: GF, cap_log2: int):
-        lh = merkle.hash_leaves(leaves)
-        levels = merkle.tree_levels(lh, cap_log2)
-        return gf.concat(levels, axis=0), levels[-1]
+    @jax.jit
+    def run(evals: GF) -> GF:
+        if len(evals.shape) == 2:
+            return GF(evals.lo.T, evals.hi.T)
+        return GF(evals.lo[:, None], evals.hi[:, None])
 
     return run
 
 
-def _split_levels(flat_np: np.ndarray, n_leaves: int, cap_log2: int):
-    out = []
-    size = n_leaves
-    off = 0
-    while True:
-        out.append(flat_np[off : off + size])
-        off += size
-        if size == (1 << cap_log2):
-            break
-        size //= 2
-    return out
-
-
 def _commit_evals(evals: GF, params: StarkParams):
-    """Merkle-commit (m, N) values ALREADY on the LDE domain (row leaves)."""
-    leaves = GF(evals.lo.T, evals.hi.T) if len(evals.shape) == 2 else (
-        GF(evals.lo[:, None], evals.hi[:, None]))
-    flat, cap = _tree_fn()(leaves, cap_log2=params.cap_log2)
-    N = int(leaves.shape[0])
-    return dict(
-        cap=cap,
-        leaves_lo=np.asarray(leaves.lo),
-        leaves_hi=np.asarray(leaves.hi),
-        levels_np=_split_levels(np.asarray(flat.astype_u64()), N,
-                                params.cap_log2),
-    )
+    """Merkle-commit (m, N) values ALREADY on the LDE domain (row leaves).
+    Everything stays device-resident; openings are gathered on device later
+    (fri.gather_rows / gather_paths)."""
+    leaves = _leaves_fn()(evals)
+    lh = merkle.hash_leaves(leaves)
+    levels = merkle.tree_levels(lh, params.cap_log2)
+    return dict(cap=levels[-1], leaves=leaves, levels=levels)
 
 
 def challenges_from_cap(cap1: GF, air: AirSpec, fixed_cap: Optional[GF] = None):
@@ -503,37 +556,28 @@ def _absorb_public(tr: Transcript, public: Optional[GF], air: AirSpec):
 
 
 @functools.lru_cache(maxsize=1)
-def _lde_tree_fn():
+def _lde_rows_fn():
     import jax
 
-    @functools.partial(jax.jit,
-                       static_argnames=("log_blowup", "shift", "cap_log2"))
-    def run(cols: GF, log_blowup: int, shift: int, cap_log2: int):
+    @functools.partial(jax.jit, static_argnames=("log_blowup", "shift"))
+    def run(cols: GF, log_blowup: int, shift: int):
         lde_cols = ntt.lde(cols, log_blowup, shift)
-        leaves = _row_leaves(lde_cols)
-        lh = merkle.hash_leaves(leaves)
-        levels = merkle.tree_levels(lh, cap_log2)
-        return lde_cols, leaves, gf.concat(levels, axis=0), levels[-1]
+        return lde_cols, _row_leaves(lde_cols)
 
     return run
 
 
 def _commit_columns(cols: GF, params: StarkParams):
-    """LDE + row-Merkle a (m, n) column group (one fused device program;
-    the tree levels come back in a single transfer)."""
-    lde_cols, leaves, flat, cap = _lde_tree_fn()(
-        cols, log_blowup=params.log_blowup,
-        shift=params.coset_shift, cap_log2=params.cap_log2,
+    """LDE + row-Merkle a (m, n) column group.  The NTT is one fused jit
+    program; leaf hashing and tree levels run eagerly on device (Pallas
+    Poseidon2 for big levels, shared bucketed executables for small ones) —
+    trees stay resident, nothing is pulled until openings are gathered."""
+    lde_cols, leaves = _lde_rows_fn()(
+        cols, log_blowup=params.log_blowup, shift=params.coset_shift,
     )
-    N = int(leaves.shape[0])
-    return dict(
-        lde=lde_cols,
-        cap=cap,
-        leaves_lo=np.asarray(leaves.lo),
-        leaves_hi=np.asarray(leaves.hi),
-        levels_np=_split_levels(np.asarray(flat.astype_u64()), N,
-                                params.cap_log2),
-    )
+    lh = merkle.hash_leaves(leaves)
+    levels = merkle.tree_levels(lh, params.cap_log2)
+    return dict(lde=lde_cols, cap=levels[-1], leaves=leaves, levels=levels)
 
 
 def prove(trace: GF, air: AirSpec, params: StarkParams,
@@ -584,10 +628,11 @@ def prove(trace: GF, air: AirSpec, params: StarkParams,
     z = _ood_point(tr, params.log_n, params.log_blowup, params.coset_shift)
     w = ntt.root_of_unity(params.log_n)
     wz = z * w % MODULUS
-    trace_z = _barycentric_eval(all_cols, z, params.log_n, 1)
-    trace_wz = _barycentric_eval(all_cols, wz, params.log_n, 1)
-    q_z = _barycentric_eval(quotient, z, params.log_n + params.log_blowup,
-                            params.coset_shift)
+    trace_z, trace_wz, q_z = _ood_fn()(
+        all_cols, quotient, _alpha_gf(z), _alpha_gf(wz),
+        log_n=params.log_n, log_blowup=params.log_blowup,
+        shift=params.coset_shift,
+    )
     ood = dict(
         trace_z=np.asarray(trace_z.astype_u64(), np.uint64),
         trace_wz=np.asarray(trace_wz.astype_u64(), np.uint64),
@@ -597,36 +642,42 @@ def prove(trace: GF, air: AirSpec, params: StarkParams,
         [ood["trace_z"], ood["trace_wz"], [np.uint64(ood["q_z"])]])))
     lam = int(np.asarray(tr.challenge_ext().c0.astype_u64()))
 
-    # DEEP codeword over the whole LDE domain (batched device computation)
-    m = air.total_cols
+    # DEEP codeword over the whole LDE domain (one fused device program)
     blowup = 1 << params.log_blowup
     N = n * blowup
-    lpows, lam_m, lam_2m = _lambda_weights(lam, m)
-    xs = gf.from_u64(_domain_points(params.log_n + params.log_blowup,
-                                    params.coset_shift))
-    inv_xz = gf.inv(gf.sub(xs, gf.constant(z)))
-    inv_xwz = gf.inv(gf.sub(xs, gf.constant(wz)))
-    a_z = gf.sum_mod(gf.mul(trace_z, lpows), axis=-1)
-    a_wz = gf.sum_mod(gf.mul(trace_wz, lpows), axis=-1)
-    deep = _deep_combine(
-        GF(lde_all.lo.T, lde_all.hi.T), quotient, lpows,
-        _alpha_gf(lam_m), _alpha_gf(lam_2m), a_z, a_wz, q_z,
-        inv_xz, inv_xwz,
+    xs = _domain_points_dev(params.log_n + params.log_blowup,
+                            params.coset_shift)
+    deep = _deep_fn()(
+        lde_all, quotient, trace_z, trace_wz, q_z,
+        _alpha_gf(lam), _alpha_gf(z), _alpha_gf(wz), xs,
     )
     fproof = fri.prove(deep, _fri_params(air, params))
 
+    # openings: device gathers of the queried rows + paths, pulled once per
+    # (tree, kind) — the trees themselves never leave the device
+    idx_np = np.asarray(fproof.query_indices, np.int64)
+    flat_idx = np.concatenate([idx_np, idx_np + N // 2])        # (2Q,)
+    gathered = []
+    for t in trees + [q_tree]:
+        rows_u64 = fri.gather_rows(t["leaves"], flat_idx)       # (2Q, m_t)
+        paths_u64 = fri.gather_paths(t["levels"], flat_idx)     # (2Q, d, 4)
+        gathered.append((rows_u64, paths_u64))
+    Q = len(fproof.query_indices)
+
+    def row_split(v):  # u64 (m,) -> (2, m) u32 [lo, hi]
+        return np.stack([v & np.uint64(0xFFFFFFFF), v >> np.uint64(32)]
+                        ).astype(np.uint32)
+
     openings = []
-    for idx in fproof.query_indices:
+    for qi, idx in enumerate(fproof.query_indices):
         rows = {}
-        for tag, j in (("cur", idx), ("cur_pair", idx + N // 2)):
+        for tag, k in (("cur", qi), ("cur_pair", Q + qi)):
             rows[tag] = dict(
-                rows=[np.stack([t["leaves_lo"][j], t["leaves_hi"][j]])
-                      for t in trees],
-                paths=[fri._open_path_np(t["levels_np"], j) for t in trees],
-                q_row=np.stack([q_tree["leaves_lo"][j],
-                                q_tree["leaves_hi"][j]]),
-                q_path=fri._open_path_np(q_tree["levels_np"], j),
-                index=j,
+                rows=[row_split(gathered[t][0][k]) for t in range(len(trees))],
+                paths=[gathered[t][1][k] for t in range(len(trees))],
+                q_row=row_split(gathered[-1][0][k]),
+                q_path=gathered[-1][1][k],
+                index=int(flat_idx[k]),
             )
         openings.append(rows)
     return StarkProof(
@@ -732,27 +783,23 @@ def verify(proof: StarkProof, air: AirSpec, params: StarkParams,
                 rows_by_tree[t].append(row)
                 paths_by_tree[t].append(path)
 
-    # batched Merkle verification: one hash_leaves + verify_path per tree
+    # batched Merkle verification: one fused (hash + paths + all) program
+    # per tree; booleans stacked on device, pulled once
     idx_arr = jnp.asarray(np.array(flat_idx, dtype=np.uint32))
     full_rows = []
+    oks = []
     for t in range(n_trees):
         rows = np.stack(rows_by_tree[t])          # (2Q, 2, m_t)
         paths = np.stack(paths_by_tree[t])        # (2Q, depth, 4)
         rows_gf = GF(jnp.asarray(rows[:, 0]), jnp.asarray(rows[:, 1]))
-        lh = merkle.hash_leaves(rows_gf)
-        ok = merkle.verify_path(
-            lh, idx_arr, gf.from_u64(paths), proof.caps[t]
-        )
-        if not bool(np.asarray(ok).all()):
-            return False
+        oks.append(fri._merkle_check_fn()(
+            rows_gf, idx_arr, gf.from_u64(paths), proof.caps[t]))
         full_rows.append(rows)
     qr = np.stack(q_rows)                         # (2Q, 2, 1)
     qr_gf = GF(jnp.asarray(qr[:, 0]), jnp.asarray(qr[:, 1]))
-    ok = merkle.verify_path(
-        merkle.hash_leaves(qr_gf), idx_arr,
-        gf.from_u64(np.stack(q_paths)), proof.q_cap,
-    )
-    if not bool(np.asarray(ok).all()):
+    oks.append(fri._merkle_check_fn()(
+        qr_gf, idx_arr, gf.from_u64(np.stack(q_paths)), proof.q_cap))
+    if not bool(np.asarray(jnp.stack(oks)).all()):
         return False
     all_rows = np.concatenate(full_rows, axis=2)  # (2Q, 2, m)
 

@@ -22,15 +22,17 @@ PUBLIC inputs (all recomputable by the outer verifier from the child
 proof's public data): per (child, layer) the Merkle cap (cap_log2=1: 2x4
 lanes) and fold challenge beta (GF(p^2)); per (child, query) the query
 index and the layer-0 opened pair values; per child the final-polynomial
-coefficients.  Fiat-Shamir derivation of betas/indices is public-coin
-recomputation over the proof's caps (cheap hashing the outer verifier
-does); what this AIR makes PROVABLE is the expensive query-phase work —
-hash-path authentication and fold consistency.  The statement proven:
-"openings exist that authenticate against these caps and fold consistently
-under these betas down to this final polynomial at these indices, starting
-from these layer-0 values."  Remaining outer checks (documented): the FS
-replay itself and the DEEP-combine equality binding layer-0 values to the
-child's trace openings (prover/stark.py verify steps 3-4).
+coefficients.  The statement proven: "openings exist that authenticate
+against these caps and fold consistently under these betas down to this
+final polynomial at these indices, starting from these layer-0 values —
+AND these betas are the Fiat-Shamir challenges the caps and final
+polynomial derive" (the FS replay rows below, VERDICT r4 item 5a: each
+transcript absorb/squeeze is itself a constrained Poseidon2 permutation
+row, so a tampered challenge breaks the in-field proof).  Remaining outer
+checks (documented): the query-index derivation (the sub-u64 modulo needs
+a bit-decomposition bank this AIR does not yet carry) and the DEEP-combine
+equality binding layer-0 values to the child's trace openings
+(prover/stark.py verify steps 3-4).
 
 Row schedule (FIXED columns; one Poseidon2 permutation per row):
   for each child c, query q:
@@ -133,6 +135,17 @@ def build_schedule(fri_params: Tuple[FriParams, ...]) -> Schedule:
         nlayers = len(layers)
         sfinal = layers[-1]["shift"] ** 2 % MODULUS
         wf = ntt.root_of_unity(p.final_poly_log_len)
+        # Fiat-Shamir replay rows (VERDICT r4 item 5a): per layer the
+        # transcript absorbs the cap (2 permutation rows: hash_padded of
+        # state||cap, ops/fri.Transcript.absorb) and squeezes beta (1 row);
+        # then one row absorbs the final polynomial.  The cap publics in,
+        # beta publics out — a tampered challenge breaks the in-field proof.
+        for l in range(nlayers):
+            rows.append(dict(kind="tabs1", child=c, q=0, layer=l,
+                             tfirst=(l == 0)))
+            rows.append(dict(kind="tabs2", child=c, q=0, layer=l))
+            rows.append(dict(kind="tsqz", child=c, q=0, layer=l))
+        rows.append(dict(kind="tfin", child=c, q=0, layer=0, fdl=fdl))
         for q in range(p.num_queries):
             for l, lay in enumerate(layers):
                 rows.append(dict(kind="leaf", child=c, q=q, layer=l,
@@ -178,7 +191,7 @@ class _Cols:
         self.pad = i; i += 1
         # committed row-type flags (live-bound to the fixed schedule)
         for nm in ("cleaf", "cpath", "clast", "clast0", "clastF", "clastNF",
-                   "creent"):
+                   "creent", "ctab1", "ctab2", "ctsqz", "ctfin"):
             setattr(self, nm, i); i += 1
         self.bit = i; i += 1
         self.capb = i; i += 1
@@ -212,10 +225,12 @@ class _Fix:
     def __init__(self, n_lsel: int, n_qsel: int, n_csel: int):
         i = 0
         for nm in ("f_leaf", "f_path", "f_last", "f_last0", "f_lastF",
-                   "f_lastNF", "f_first", "f_reent", "f_pad"):
+                   "f_lastNF", "f_first", "f_reent", "f_pad",
+                   "f_tab1", "f_tab2", "f_tsqz", "f_tfin", "f_tfirst",
+                   "f_treent", "f_fdl2"):
             setattr(self, nm, i); i += 1
         for nm in ("f_pw2", "f_capw", "f_shift", "f_fshift", "f_wstep",
-                   "f_wfstep", "f_wfcap", "f_wcap"):
+                   "f_wfstep", "f_wfcap", "f_wcap", "f_tlen"):
             setattr(self, nm, i); i += 1
         self.lsel = slice(i, i + n_lsel); i += n_lsel
         self.qsel = slice(i, i + n_qsel); i += n_qsel
@@ -253,7 +268,22 @@ def fixed_columns(sched: Schedule) -> GF:
     out[fx.f_wcap] = 1
     for i, r in enumerate(_row_dicts(sched)):
         c = r["child"]
-        if r["kind"] == "leaf":
+        if r["kind"] == "tabs1":
+            out[fx.f_tab1, i] = 1
+            if r["tfirst"]:
+                out[fx.f_tfirst, i] = 1
+            else:
+                out[fx.f_treent, i] = 1
+        elif r["kind"] == "tabs2":
+            out[fx.f_tab2, i] = 1
+        elif r["kind"] == "tsqz":
+            out[fx.f_tsqz, i] = 1
+        elif r["kind"] == "tfin":
+            out[fx.f_tfin, i] = 1
+            out[fx.f_tlen, i] = 4 + 2 * r["fdl"]
+            if r["fdl"] == 2:
+                out[fx.f_fdl2, i] = 1
+        elif r["kind"] == "leaf":
             out[fx.f_leaf, i] = 1
             if r["first"]:
                 out[fx.f_first, i] = 1
@@ -357,7 +387,8 @@ def _verifier_air(fri_params: Tuple[FriParams, ...]) -> AirSpec:
         live = _not(pad)
         # booleanity
         flags = [c.pad, c.cleaf, c.cpath, c.clast, c.clast0, c.clastF,
-                 c.clastNF, c.creent, c.bit, c.capb]
+                 c.clastNF, c.creent, c.ctab1, c.ctab2, c.ctsqz, c.ctfin,
+                 c.bit, c.capb]
         for i in flags:
             v = cc(cur, i)
             vals.append(gf.mul(v, gf.sub(v, one)))
@@ -368,7 +399,9 @@ def _verifier_air(fri_params: Tuple[FriParams, ...]) -> AirSpec:
         for ci, fi in ((c.cleaf, fx.f_leaf), (c.cpath, fx.f_path),
                        (c.clast, fx.f_last), (c.clast0, fx.f_last0),
                        (c.clastF, fx.f_lastF), (c.clastNF, fx.f_lastNF),
-                       (c.creent, fx.f_reent)):
+                       (c.creent, fx.f_reent), (c.ctab1, fx.f_tab1),
+                       (c.ctab2, fx.f_tab2), (c.ctsqz, fx.f_tsqz),
+                       (c.ctfin, fx.f_tfin)):
             vals.append(gf.sub(cc(cur, ci), gf.mul(live, fxc(cur, fi))))
         cleaf = cc(cur, c.cleaf)
         clast = cc(cur, c.clast)
@@ -473,6 +506,46 @@ def _verifier_air(fri_params: Tuple[FriParams, ...]) -> AirSpec:
         p1 = gf.add(fin[..., 2], gf.mul(fin[..., 3], cc(cur, c.xff)))
         vals.append(gf.mul(clastF, gf.sub(fv[..., 0], p0)))
         vals.append(gf.mul(clastF, gf.sub(fv[..., 1], p1)))
+        # ---- Fiat-Shamir replay rows (transcript-as-permutation-rows) ----
+        # tabs1: state' absorbs [tr_state | cap_lo] with capacity (0,0,0,12)
+        # (ops/fri.Transcript.absorb = hash_padded(state||cap), 12 lanes)
+        ctab1 = cc(cur, c.ctab1)
+        ctab2 = cc(cur, c.ctab2)
+        ctsqz = cc(cur, c.ctsqz)
+        ctfin = cc(cur, c.ctfin)
+        for k in range(3):
+            vals.append(gf.mul(ctab1, carry[..., k]))
+            vals.append(gf.mul(ctfin, carry[..., k]))
+        vals.append(gf.mul(ctab1, gf.sub(carry[..., 3], gf.full((), 12))))
+        vals.append(gf.mul(ctfin, gf.sub(carry[..., 3],
+                                         fxc(cur, fx.f_tlen))))
+        for k in range(4):
+            vals.append(gf.mul(ctsqz, carry[..., k]))
+            # tabs1 absorbs cap_lo in chunk lanes 4..8; tabs2 absorbs
+            # cap_hi in lanes 0..4 and zero-pads 4..8; tsqz zero-pads 4..8
+            vals.append(gf.mul(ctab1, gf.sub(chunk[..., 4 + k],
+                                             cap_lo[..., k])))
+            vals.append(gf.mul(ctab2, gf.sub(chunk[..., k],
+                                             cap_hi[..., k])))
+            vals.append(gf.mul(ctab2, chunk[..., 4 + k]))
+            vals.append(gf.mul(ctsqz, chunk[..., 4 + k]))
+            # a child's FIRST transcript row starts from the empty state
+            vals.append(gf.mul(fxc(cur, fx.f_tfirst), chunk[..., k]))
+        # squeeze output lanes 0..1 ARE the beta publics for this layer
+        vals.append(gf.mul(ctsqz, gf.sub(out12[..., 0], beta_pub[..., 0])))
+        vals.append(gf.mul(ctsqz, gf.sub(out12[..., 1], beta_pub[..., 1])))
+        # tfin absorbs the final polynomial (lane map depends on fdl: the
+        # flattened (2, fdl) coefficients; fdl in {1, 2} via f_fdl2)
+        fdl2 = fxc(cur, fx.f_fdl2)
+        vals.append(gf.mul(ctfin, gf.sub(chunk[..., 4], fin[..., 0])))
+        vals.append(gf.mul(ctfin, gf.sub(
+            chunk[..., 5],
+            gf.add(gf.mul(fdl2, fin[..., 1]),
+                   gf.mul(_not(fdl2), fin[..., 2])))))
+        vals.append(gf.mul(ctfin, gf.sub(chunk[..., 6],
+                                         gf.mul(fdl2, fin[..., 2]))))
+        vals.append(gf.mul(ctfin, gf.sub(chunk[..., 7],
+                                         gf.mul(fdl2, fin[..., 3]))))
         acc, a_pow = _alpha_sum(vals, alpha, a_pow)
         # Poseidon2 permutation relations (scan-folded)
         # PermCols offsets are phase-1-relative; rows are [fixed | phase1]
@@ -529,6 +602,24 @@ def _verifier_air(fri_params: Tuple[FriParams, ...]) -> AirSpec:
         # iprev seeding on re-entry: i_{l+1} = i_l mod 2^depth = cur.iacc
         out.append(gf.mul(creent_n, gf.sub(cc(nxt, c.iprev),
                                            cc(cur, c.iacc))))
+        # ---- transcript chaining (FS replay) ----
+        # the transcript state flows through the permutation rows: tabs2
+        # carries tabs1's capacity; tsqz/tfin/non-first-tabs1 absorb the
+        # previous row's output state lanes
+        out_full_c = cur[..., np.arange(F + c.perm.out.start,
+                                        F + c.perm.out.stop)]
+        ctab2_n = cc(nxt, c.ctab2)
+        ctsqz_n = cc(nxt, c.ctsqz)
+        ctfin_n = cc(nxt, c.ctfin)
+        tchain_n = gf.add(ctsqz_n, gf.add(ctfin_n,
+                                          gf.mul(cc(nxt, c.ctab1),
+                                                 fxc(nxt, fx.f_treent))))
+        for k in range(4):
+            out.append(gf.mul(ctab2_n, gf.sub(
+                nxt[..., F + c.perm.carry.start + k],
+                out_full_c[..., 8 + k])))
+            out.append(gf.mul(tchain_n, gf.sub(chunk_n[..., k],
+                                               out_full_c[..., k])))
         return out
 
     return AirSpec(
@@ -562,8 +653,8 @@ def fri_transcript_scalars(proof: FriProof, params: FriParams):
         betas.append((int(np.asarray(b.c0.astype_u64())),
                       int(np.asarray(b.c1.astype_u64()))))
     tr.absorb(gf.from_u64(np.asarray(proof.final_poly).reshape(-1)))
-    indices = [tr.challenge_index(1 << (params.log_domain - 1))
-               for _ in range(params.num_queries)]
+    indices = tr.challenge_indices(1 << (params.log_domain - 1),
+                                   params.num_queries)
     if indices != list(proof.query_indices):
         return None
     return betas, indices
@@ -620,18 +711,30 @@ def build_verifier_trace(proofs: Sequence[FriProof],
     live = len(rows)
 
     scalars = {}
+    tr_rows = {}  # child -> [(kind, layer, state12_in)]
     for ci, (proof, params) in enumerate(zip(proofs, fri_params)):
         s = fri_transcript_scalars(proof, params)
         assert s is not None, "child FRI transcript mismatch"
         scalars[ci] = s
+        tr_rows[ci] = _transcript_row_states(proof, s[0])
 
     # ---- host pass: everything except the permutation internals ----
     states = np.zeros((live, 12), np.uint64)
     seg_pos = np.zeros(live, np.int64)  # position inside the (q,l) segment
+    tr_seen = {ci: 0 for ci in range(len(proofs))}
     for i, r in enumerate(rows):
         ci, q, l = r["child"], r["q"], r["layer"]
         proof, params = proofs[ci], fri_params[ci]
         betas, indices = scalars[ci]
+        if r["kind"] in ("tabs1", "tabs2", "tsqz", "tfin"):
+            kind, lay_l, st_in = tr_rows[ci][tr_seen[ci]]
+            tr_seen[ci] += 1
+            assert kind == r["kind"] and lay_l == l, (kind, r)
+            states[i] = st_in
+            seg_pos[i] = 0  # fully-known input: first permutation batch
+            C[{"tabs1": c.ctab1, "tabs2": c.ctab2,
+               "tsqz": c.ctsqz, "tfin": c.ctfin}[kind], i] = 1
+            continue
         op = proof.openings[q][l]
         pair = np.asarray(op["pair"], np.uint64)
         path = np.asarray(op["path"], np.uint64)
@@ -766,6 +869,44 @@ def build_verifier_trace(proofs: Sequence[FriProof],
     copy_from = c.bit
     C[copy_from:, live:] = C[copy_from:, live - 1][:, None]
     return gf.from_u64(C), fixed_columns(sched)
+
+
+def _transcript_row_states(proof: FriProof, betas) -> list:
+    """[(kind, layer, state12_in)] for the FS-replay rows, computed with the
+    native Poseidon2 — bit-identical to ops/fri.Transcript (asserted against
+    the replayed betas)."""
+    from ..runtime import native
+
+    out = []
+    st = np.zeros(4, np.uint64)
+    for l, cap in enumerate(proof.caps):
+        cap_u = np.asarray(cap.astype_u64(), np.uint64).reshape(-1)
+        in1 = np.zeros(12, np.uint64)
+        in1[0:4] = st
+        in1[4:8] = cap_u[:4]
+        in1[11] = 12
+        out1 = native.poseidon2_permute(in1)
+        out.append(("tabs1", l, in1))
+        in2 = np.zeros(12, np.uint64)
+        in2[0:4] = cap_u[4:8]
+        in2[8:12] = out1[8:12]
+        out2 = native.poseidon2_permute(in2)
+        out.append(("tabs2", l, in2))
+        st = out2[:4].copy()
+        in3 = np.zeros(12, np.uint64)
+        in3[0:4] = st
+        out3 = native.poseidon2_permute(in3)
+        out.append(("tsqz", l, in3))
+        st = out3[:4].copy()
+        assert (int(st[0]), int(st[1])) == tuple(betas[l]), \
+            "transcript replay diverged from ops/fri.Transcript"
+    flat = np.asarray(proof.final_poly, np.uint64).reshape(-1)
+    in4 = np.zeros(12, np.uint64)
+    in4[0:4] = st
+    in4[4 : 4 + flat.shape[0]] = flat
+    in4[11] = 4 + flat.shape[0]
+    out.append(("tfin", 0, in4))
+    return out
 
 
 def _iprev_of(idx0: int, params: FriParams, upto: int) -> int:
