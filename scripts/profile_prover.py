@@ -158,19 +158,30 @@ def main():
           f"{fparams.final_poly_log_len}): {time.time()-t0:.2f}s")
 
         t0 = time.time()
+        idx_np = np.asarray(fproof.query_indices, np.int64)
+        flat_idx = np.concatenate([idx_np, idx_np + N // 2])
+        gathered = []
+        for tt in trees + [q_tree]:
+            rows_u64 = fri.gather_rows(tt["leaves"], flat_idx)
+            paths_u64 = fri.gather_paths(tt["levels"], flat_idx)
+            gathered.append((rows_u64, paths_u64))
+        Qn = len(fproof.query_indices)
+
+        def row_split(v):
+            return np.stack([v & np.uint64(0xFFFFFFFF),
+                             v >> np.uint64(32)]).astype(np.uint32)
+
         openings = []
-        for idx in fproof.query_indices:
+        for qi, idx in enumerate(fproof.query_indices):
             rows = {}
-            for tg, j in (("cur", idx), ("cur_pair", idx + N // 2)):
+            for tg, k in (("cur", qi), ("cur_pair", Qn + qi)):
                 rows[tg] = dict(
-                    rows=[np.stack([tt["leaves_lo"][j], tt["leaves_hi"][j]])
-                          for tt in trees],
-                    paths=[fri._open_path_np(tt["levels_np"], j)
-                           for tt in trees],
-                    q_row=np.stack([q_tree["leaves_lo"][j],
-                                    q_tree["leaves_hi"][j]]),
-                    q_path=fri._open_path_np(q_tree["levels_np"], j),
-                    index=j,
+                    rows=[row_split(gathered[ti][0][k])
+                          for ti in range(len(trees))],
+                    paths=[gathered[ti][1][k] for ti in range(len(trees))],
+                    q_row=row_split(gathered[-1][0][k]),
+                    q_path=gathered[-1][1][k],
+                    index=int(flat_idx[k]),
                 )
             openings.append(rows)
         proof = stark.StarkProof(

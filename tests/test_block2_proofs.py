@@ -35,6 +35,7 @@ def proof_block():
         unpacker_rounds=8, ram_limit=64,
         prove_vm=True,
         prove_hash_chains=True,
+        prove_routing=True,
     )
     blob = ([bytes([7]) * 31, bytes([9]) * 31], b"\x01" + b"\x22" * 31)
     return block2.execute_block2(code, cfg, blobs=[blob])
@@ -62,6 +63,14 @@ def test_eip4844_keccak_chains_proven(proof_block):
     output commitment) carry verified digest STARKs (type 255; ref
     eip_4844/mod.rs:157-174, 206-242)."""
     assert proof_block.stark_verdicts.get(255) is True
+
+
+def test_demux_routing_verdict(proof_block):
+    """Type 4's verdict is the demux routing STARK verifier's: committed
+    selector certificates vs input/output-substream RLCs the verifier
+    recomputes from the plaintext log tape (prover/demux_air.py; ref
+    demux_log_queue/mod.rs:279-310)."""
+    assert proof_block.stark_verdicts.get(4) is True
 
 
 def test_code_read_stream_binds_to_tape(proof_block):

@@ -330,6 +330,62 @@ def generate_witness(
     )
 
 
+def blake2s_calls(w: "StorageApplicationWitness"):
+    """Plaintext (messages, digests) of every blake2s invocation the
+    executed stage rows perform — derived keys (ref mod.rs:433-439), leaf
+    hashes (mod.rs:523-570) and all 256 path levels per stage
+    (mod.rs:390-400) — deduplicated, for the batched single-block
+    compression STARK (prover/blake2s_air.py).  Deterministic in the
+    witness, so prover and verifier derive the SAME list."""
+
+    def wb(ws) -> bytes:
+        return b"".join(int(x).to_bytes(4, "little") for x in np.asarray(ws))
+
+    seen = set()
+
+    def put(msg: bytes, dig: bytes):
+        # dedup identical (message, digest) pairs; distinct digests for one
+        # message are both kept — the STARK refutes the forged one
+        if (msg, dig) in seen:
+            return
+        seen.add((msg, dig))
+        msgs.append(msg)
+        digs.append(dig)
+
+    msgs, digs = [], []
+    Q = int(np.asarray(w.num_queries))
+    addr_l = np.asarray(w.queries.address, np.uint64)
+    key_l = np.asarray(w.queries.key, np.uint64)
+    dks = np.asarray(w.derived_keys)
+    dk_bytes = {}
+    for qi in range(Q):
+        addr = sum(int(addr_l[qi, j]) << (32 * j) for j in range(5))
+        key = sum(int(key_l[qi, j]) << (32 * j) for j in range(8))
+        dk_bytes[qi] = wb(dks[qi])
+        put(b"\x00" * 12 + addr.to_bytes(20, "big") + key.to_bytes(32, "big"),
+            dk_bytes[qi])
+    rex = np.asarray(w.row_execute)
+    rq = np.asarray(w.row_query)
+    ridx = np.asarray(w.row_leaf_index, np.uint64)
+    rval = np.asarray(w.row_leaf_value)
+    rpath = np.asarray(w.row_path)
+    rnodes = np.asarray(w.row_nodes)
+    for i in range(rex.shape[0]):
+        if not rex[i]:
+            continue
+        idx = int(ridx[i, 0]) | (int(ridx[i, 1]) << 32)
+        leaf_msg = ((idx >> 32).to_bytes(4, "big")
+                    + (idx & 0xFFFFFFFF).to_bytes(4, "big") + wb(rval[i]))
+        put(leaf_msg, wb(rnodes[i, 0]))
+        bits = path_bits(dk_bytes[int(rq[i])])
+        for l in range(STORAGE_DEPTH):
+            node = wb(rnodes[i, l])
+            sib = wb(rpath[i, l])
+            left, right = (sib, node) if bits[l] else (node, sib)
+            put(left + right, wb(rnodes[i, l + 1]))
+    return msgs, digs
+
+
 def _blake2s_fixed(m_words: jnp.ndarray, nbytes: int) -> jnp.ndarray:
     """blake2s of a single sub-64-byte block: m_words (..., 16) LE u32."""
     h = blake2s.initial_state(m_words.shape[:-1])

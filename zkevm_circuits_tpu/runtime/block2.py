@@ -96,6 +96,19 @@ class Block2Config:
     # committed geometry) — circuit type 1's verdict becomes
     # verifier-produced instead of evaluator-trusted
     prove_vm: bool = False
+    # prove demux_log_queue's per-pop routing (type 4) with the committed
+    # selector-certificate STARK (prover/demux_air.py; ref
+    # demux_log_queue/mod.rs:279-310): the verifier recomputes the input and
+    # all six output substream RLCs from the plaintext log tape + the rule
+    prove_routing: bool = False
+    # prove storage_application's blake2s Merkle path recomputations
+    # (type 10) with the compression-chain STARK (prover/blake2s_air.py;
+    # ref storage_application/mod.rs:390-400)
+    prove_storage_paths: bool = False
+    # prove ecrecover's secp256k1 recovery ladder relations (type 7) with
+    # the nonnative-limb STARK (prover/ecrecover_air.py; ref
+    # ecrecover/new_optimized.rs:870-1128)
+    prove_ecrecover: bool = False
 
 
 @dataclasses.dataclass
@@ -796,6 +809,45 @@ def execute_block2(
                     hprm,
                 )
             stark_verdicts[255] = ok44
+
+    # ---------------- type 4: demux routing proof ----------------
+    # the verifier recomputes the input-stream RLC and all six output
+    # substream RLCs from the PLAINTEXT executed log tape under the
+    # transcript challenge, so the committed routing selectors are bound to
+    # the same stream the downstream circuits consume
+    # (prover/demux_air.py; ref demux_log_queue/mod.rs:279-310)
+    if config.prove_routing:
+        from ..prover import demux_air as dair
+
+        dproof, _dpub, dprm = dair.prove_demux(log_rows)
+        stark_verdicts[4] = dair.verify_demux(dproof, log_rows, dprm)
+
+    # ---------------- type 10: storage path blake2s proofs ----------------
+    # every blake2s digest the Merkle walks consume (derived keys, leaves,
+    # all path levels) proven in ONE batched compression STARK; the
+    # evaluator keeps checking the path STRUCTURE over those digests
+    # (prover/blake2s_air.py; ref storage_application/mod.rs:390-400)
+    if config.prove_storage_paths and 10 in forms:
+        from ..prover import blake2s_air as bair
+
+        b_msgs, b_digs = sa.blake2s_calls(aw)
+        bproof, proved_digs, bprm = bair.prove_blake2s_batch(b_msgs)
+        ok10 = all(d == e for d, e in zip(proved_digs, b_digs))
+        ok10 &= bair.verify_blake2s_batch(bproof, b_msgs, b_digs, bprm)
+        stark_verdicts[10] = ok10 and stark_verdicts.get(10, True)
+
+    # ---------------- type 7: ecrecover ladder proofs ----------------
+    # the secp256k1 double-and-add ladders (u1*G, u2*R per call) proven as
+    # a committed-trace STARK over byte-decomposed nonnative limbs; the
+    # evaluator keeps checking scalar derivation, exceptions and the
+    # ABI/memory binding (prover/ecrecover_air.py; ref
+    # ecrecover/new_optimized.rs:870-1128)
+    if config.prove_ecrecover and 7 in forms:
+        from ..prover import ecrecover_air as eair
+
+        eproof, ecp, eprm = eair.prove_ecrecover(ew)
+        ok7 = eair.verify_ecrecover(eproof, ecp, eprm)
+        stark_verdicts[7] = ok7 and stark_verdicts.get(7, True)
 
     # ------------- leaf-layer verification + scheduler node slots --------
     # Every type's slot is built THROUGH the leaf path (VERDICT r4 item 7):
